@@ -1,0 +1,121 @@
+"""Golden tests for sliding-window counting and PMI edges.
+
+The integer co-occurrence goldens are transcribed from the reference's
+hand-computed test (textgcn/test/test_cfunc.py:81-99) and the analytic PMI
+values from its toy-corpus test (textgcn/test/test_pmi.py:10-27). All three
+backends (python oracle, native C++, JAX on-device) must agree exactly.
+"""
+
+import numpy as np
+import pytest
+
+from pytextgcn_tpu.build.windows import (
+    pmi_edges_from_pairs,
+    sliding_window_counts,
+    tri_diag_index,
+    word_word_edges,
+)
+
+# the reference's hand-computed fixture: 2 docs, 6 words, window 3, one padded
+GOLDEN_X = np.array(
+    [
+        [0, 1, 2, 3, 4, -1, -1, -1],
+        [5, 3, 4, 1, 2, 0, 5, 1],
+    ],
+    dtype=np.int32,
+)
+GOLDEN_CIJ = np.array(
+    # packed upper triangle incl. diagonal, row-major (test_cfunc.py:88-95)
+    [4, 3, 3, 0, 0, 2,
+        6, 4, 2, 2, 1,
+           6, 2, 2, 1,
+              4, 3, 1,
+                 4, 1,
+                    3],
+    dtype=np.uint32,
+)
+
+
+def test_tri_index_layout():
+    # mirrors the reference's test_sym_matrix (graphbuilder.pyx:277-296)
+    mat = np.zeros(10, dtype=np.float32)
+    mat[tri_diag_index(np.int64(1), np.int64(1), 4)] = 10
+    mat[tri_diag_index(np.int64(1), np.int64(2), 4)] = 20
+    mat[tri_diag_index(np.int64(2), np.int64(0), 4)] = 30
+    mat[tri_diag_index(np.int64(3), np.int64(3), 4)] = 100
+    mat[tri_diag_index(np.int64(2), np.int64(3), 4)] = 120
+    np.testing.assert_array_equal(mat, [0, 0, 30, 0, 10, 20, 0, 0, 120, 100])
+
+
+def test_sliding_window_golden_oracle():
+    cij, n_windows = sliding_window_counts(GOLDEN_X, 6, 3)
+    np.testing.assert_array_equal(cij, GOLDEN_CIJ)
+    assert n_windows == 9  # 3 windows in the padded doc + 6 in the full doc
+
+
+def test_sliding_window_golden_native():
+    from pytextgcn_tpu.build.native_bridge import native_sliding_window_counts
+
+    cij, n_windows = native_sliding_window_counts(GOLDEN_X, 6, 3)
+    np.testing.assert_array_equal(cij, GOLDEN_CIJ)
+    assert n_windows == 9
+
+
+def _edges_to_dict(coo, w):
+    return {(int(a), int(b)): float(x) for (a, b), x in zip(coo, w)}
+
+
+@pytest.mark.parametrize("backend", ["oracle", "native", "device"])
+def test_word_word_edges_backends_agree(backend):
+    coo, w, n_windows = word_word_edges(GOLDEN_X, 6, 3, backend=backend)
+    ref_coo, ref_w, ref_nw = word_word_edges(GOLDEN_X, 6, 3, backend="oracle")
+    assert n_windows == ref_nw == 9
+    np.testing.assert_array_equal(coo, ref_coo)  # identical emission order
+    np.testing.assert_array_equal(w, ref_w)  # bitwise-equal float32 PMI
+
+
+def test_pmi_analytic_values():
+    """Analytic PMI check in the style of the reference's test_pmi.py:10-18.
+
+    Single doc [0, 1, 2, 0], window 4 >= len: one window. Counts: c00 from
+    pairs (0,0) at positions (0,0),(3,3),(0,3) = 3; c01 = c(0@0,1) + c(1,0@3)
+    = 2; c02 = 2; c11 = 1; c12 = 1; c22 = 1. n_windows = 1 ->
+    p0 = 3, p1 = 1, p2 = 1 (unnormalized by 1). pmi(0,1) = log(2/(3*1)) < 0:
+    dropped. pmi(1,2) = log(1/(1*1)) = 0: dropped (must exceed 1e-10).
+    """
+    X = np.array([[0, 1, 2, 0]], dtype=np.int32)
+    coo, w, n_windows = word_word_edges(X, 3, 4, backend="oracle")
+    assert n_windows == 1
+    assert coo.shape[0] == 0  # every pmi <= 0 here
+
+    # now two docs so that a pair is genuinely informative:
+    # doc a = [0, 1], doc b = [2, 2], window 2 -> windows: 1 + 1 = 2
+    # c00=1, c11=1, c01=1, c22=3 -> p0=p1=.5, p2=1.5, p01=.5
+    # pmi(0,1) = log(.5/(.5*.5)) = log 2 > 0  -> kept
+    # pmi with word 2 never counted (no cross pair) -> no edge
+    X2 = np.array([[0, 1], [2, 2]], dtype=np.int32)
+    coo2, w2, nw2 = word_word_edges(X2, 3, 2, backend="oracle")
+    assert nw2 == 2
+    d = _edges_to_dict(coo2, w2)
+    assert set(d) == {(0, 1), (1, 0)}
+    np.testing.assert_allclose(d[(0, 1)], np.log(2.0), rtol=1e-6)
+
+
+@pytest.mark.parametrize("backend", ["native", "device"])
+def test_random_corpus_backends_agree(backend):
+    """Fuzz: random padded corpora, all backends agree bitwise."""
+    rng = np.random.default_rng(0)
+    for trial in range(4):
+        n_docs = int(rng.integers(1, 12))
+        seq_len = int(rng.integers(2, 30))
+        n_vocab = int(rng.integers(2, 15))
+        window = int(rng.integers(2, 8))
+        lengths = rng.integers(0, seq_len + 1, size=n_docs)
+        X = np.full((n_docs, seq_len), -1, dtype=np.int32)
+        for i, L in enumerate(lengths):
+            X[i, :L] = rng.integers(0, n_vocab, size=L)
+        ref = word_word_edges(X, n_vocab, window, backend="oracle")
+        got = word_word_edges(X, n_vocab, window, backend=backend)
+        assert got[2] == ref[2], f"n_windows mismatch trial {trial}"
+        np.testing.assert_array_equal(got[0], ref[0])
+        np.testing.assert_array_equal(got[1], ref[1])
