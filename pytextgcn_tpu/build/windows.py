@@ -251,7 +251,9 @@ def word_word_edges_device(
         n_pos = s - window_size + 1
         per_doc = n_pos * n_pairs
         docs_per_chunk = max(1, chunk_pair_budget // per_doc)
-        # round chunk size to limit distinct jit shapes
+        # round to powers of two to limit distinct jit shapes, and never pad
+        # a small bucket up to a huge chunk
+        docs_per_chunk = min(docs_per_chunk, 2 * sel.size - 1)
         docs_per_chunk = 1 << int(np.floor(np.log2(docs_per_chunk)))
         for off in range(0, sel.size, docs_per_chunk):
             idx = sel[off : off + docs_per_chunk]

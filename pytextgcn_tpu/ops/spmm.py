@@ -1,0 +1,38 @@
+"""Sparse-dense matmul (neighborhood aggregation) dispatch.
+
+``spmm(adj, x)`` computes ``A_hat @ x`` for the normalized adjacency:
+``out[i] = self_w[i] * x[i] + sum_{e: dst[e]==i} w[e] * x[src[e]]``.
+
+This is the per-epoch hot op — the role torch-scatter's CUDA kernels play
+under torch-geometric's GCNConv in the reference (SURVEY.md §2.3 item 2).
+Two execution paths:
+
+* XLA path (default): gather + ``segment_sum``. Fully differentiable; XLA
+  transposes the scatter into a gather for the backward pass.
+* Pallas path (``adj.plan`` present): tiled one-hot-matmul segment reduction
+  on the MXU (see spmm_pallas.py), with a custom VJP that reuses the kernel
+  on the transpose plan (A_hat is symmetric, but the plan differs because the
+  edge tiling is destination-sorted).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .adjacency import NormAdj
+
+
+def spmm_segment(adj: NormAdj, x: jax.Array) -> jax.Array:
+    """XLA gather/segment_sum aggregation."""
+    contrib = adj.w[:, None] * jnp.take(x, adj.src, axis=0)
+    agg = jax.ops.segment_sum(contrib, adj.dst, num_segments=adj.n_nodes)
+    return agg + adj.self_w[:, None] * x
+
+
+def spmm(adj: NormAdj, x: jax.Array) -> jax.Array:
+    if adj.plan is not None:
+        from .spmm_pallas import spmm_pallas
+
+        return spmm_pallas(adj.plan, x) + adj.self_w[:, None] * x
+    return spmm_segment(adj, x)
