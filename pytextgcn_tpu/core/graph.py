@@ -132,6 +132,21 @@ class TextGraph:
             )
 
 
+def gcn_normalize_np(edge_src, edge_dst, edge_w, n_nodes: int):
+    """Host (numpy) version of :func:`gcn_normalize` — graph finalization is
+    one-time preprocessing, so it must not issue eager device ops (on remote
+    TPU backends every eager op is a separate compile)."""
+    src = np.asarray(edge_src)
+    dst = np.asarray(edge_dst)
+    w = np.asarray(edge_w, dtype=np.float32)
+    deg = np.ones(n_nodes, dtype=np.float32)
+    np.add.at(deg, dst, w)
+    inv_sqrt = 1.0 / np.sqrt(deg)
+    norm_w = w * inv_sqrt[src] * inv_sqrt[dst]
+    self_w = inv_sqrt * inv_sqrt
+    return norm_w, self_w
+
+
 def gcn_normalize(edge_src, edge_dst, edge_w, n_nodes: int):
     """Symmetric GCN normalization with implicit self-loops.
 

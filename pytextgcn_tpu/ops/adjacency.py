@@ -17,7 +17,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..core.graph import TextGraph, gcn_normalize
+import numpy as np
+
+from ..core.graph import TextGraph, gcn_normalize_np
 
 
 @partial(
@@ -43,19 +45,24 @@ class NormAdj:
 
     @staticmethod
     def from_graph(g: TextGraph, use_pallas: bool = False) -> "NormAdj":
-        norm_w, self_w = gcn_normalize(g.edge_src, g.edge_dst, g.edge_w, g.n_nodes)
-        adj = NormAdj(
-            src=g.edge_src,
-            dst=g.edge_dst,
-            w=norm_w,
-            self_w=self_w,
-            n_nodes=g.n_nodes,
-        )
+        # normalization on host (numpy): one-time preprocessing; keeps all
+        # device work inside jitted hot paths
+        src = np.asarray(g.edge_src)
+        dst = np.asarray(g.edge_dst)
+        norm_w, self_w = gcn_normalize_np(src, dst, g.edge_w, g.n_nodes)
+        plan = None
         if use_pallas:
-            from .spmm_pallas import build_plan
+            from .spmm_pallas import build_plan_from_arrays
 
-            adj = dataclasses.replace(adj, plan=build_plan(adj))
-        return adj
+            plan = build_plan_from_arrays(src, dst, norm_w, self_w, g.n_nodes)
+        return NormAdj(
+            src=jnp.asarray(src),
+            dst=jnp.asarray(dst),
+            w=jnp.asarray(norm_w),
+            self_w=jnp.asarray(self_w),
+            n_nodes=g.n_nodes,
+            plan=plan,
+        )
 
     @property
     def n_edges(self) -> int:

@@ -30,7 +30,11 @@ def spmm_segment(adj: NormAdj, x: jax.Array) -> jax.Array:
     return agg + adj.self_w[:, None] * x
 
 
-def spmm(adj: NormAdj, x: jax.Array) -> jax.Array:
+def spmm(adj, x: jax.Array) -> jax.Array:
+    from ..parallel.sharded import ShardedAdj, spmm_sharded
+
+    if isinstance(adj, ShardedAdj):
+        return spmm_sharded(adj, x)
     if adj.plan is not None:
         from .spmm_pallas import spmm_pallas
 

@@ -1,0 +1,240 @@
+"""Pallas TPU SpMM: tiled segment reduction on the MXU.
+
+The role torch-scatter's CUDA scatter-add plays in the reference
+(SURVEY.md §2.3 item 2), designed for TPU instead of translated: scatter-add
+is hostile to the TPU vector unit, so the reduction is reformulated as a
+sequence of small one-hot matmuls — the classic TPU segment-sum trick:
+
+1. A host-side *plan* sorts edges by destination, pads them into fixed-size
+   tiles of ``EDGE_TILE`` edges such that every tile's destinations fall in
+   one aligned block of ``ROW_BLOCK`` output rows, and records the block id
+   per tile (scalar-prefetched so the output BlockSpec can be data-driven).
+2. The kernel builds, per tile, the one-hot matrix ``M[r, e] = (rel[e] == r)``
+   and accumulates ``M @ (w * x_src)`` into the output block, which stays
+   resident in VMEM across the consecutive tiles of the same block (first
+   visit zero-initializes it).
+
+The gather ``x[src]`` runs in XLA outside the kernel (TPU dynamic-gather),
+the multiply + reduction inside. Backward is the same kernel on a transpose
+plan (``A_hat`` minus self-loops is symmetric as a matrix, but the tiling is
+destination-sorted, so the plan differs); exposed via ``custom_vjp``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EDGE_TILE = 1024  # = 8 sublanes x 128 lanes, so per-tile edge vectors tile cleanly
+ROW_BLOCK = 256
+LANE = 128
+
+
+def _use_interpret() -> bool:
+    # compiled Mosaic on real TPU backends; interpreter elsewhere (CPU tests)
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["src", "w", "rel", "block_idx"],
+    meta_fields=["n_rows_padded", "n_tiles"],
+)
+@dataclasses.dataclass
+class TilePlan:
+    """Destination-sorted, block-aligned edge tiling (one direction)."""
+
+    src: jax.Array  # int32 [T, EDGE_TILE] source node per slot (0 for pads)
+    w: jax.Array  # float32 [T, EDGE_TILE] weight (0 for pads)
+    rel: jax.Array  # int32 [T, EDGE_TILE] dst - block_start (0 for pads)
+    block_idx: jax.Array  # int32 [T] output block per tile (nondecreasing)
+    n_rows_padded: int
+    n_tiles: int
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["fwd", "bwd", "self_w"],
+    meta_fields=["n_nodes"],
+)
+@dataclasses.dataclass
+class SpmmPlan:
+    fwd: TilePlan
+    bwd: TilePlan
+    self_w: jax.Array  # kept for completeness; applied by ops.spmm
+    n_nodes: int
+
+
+def _build_tile_plan(src, dst, w, n_nodes: int) -> TilePlan:
+    """Host-side tiling: sort by dst, cut tiles at block boundaries and at
+    EDGE_TILE occupancy, pad tiles with zero-weight edges."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    w = np.asarray(w, np.float32)
+    order = np.argsort(dst, kind="stable")
+    src, dst, w = src[order], dst[order], w[order]
+
+    n_rows_padded = max(ROW_BLOCK, int(-(-n_nodes // ROW_BLOCK)) * ROW_BLOCK)
+    block = dst // ROW_BLOCK
+    # tiles per block
+    n_blocks = n_rows_padded // ROW_BLOCK
+    counts = np.bincount(block, minlength=n_blocks)
+    tiles_per_block = -(-counts // EDGE_TILE)  # ceil; 0 for empty blocks
+    tile_base = np.concatenate([[0], np.cumsum(tiles_per_block)])
+    n_tiles = max(int(tile_base[-1]), 1)
+
+    # position of each edge within its block
+    block_start_edge = np.concatenate([[0], np.cumsum(counts)])
+    pos_in_block = np.arange(dst.shape[0]) - block_start_edge[block]
+    tile_of_edge = tile_base[block] + pos_in_block // EDGE_TILE
+    slot_of_edge = pos_in_block % EDGE_TILE
+
+    src_t = np.zeros((n_tiles, EDGE_TILE), np.int32)
+    w_t = np.zeros((n_tiles, EDGE_TILE), np.float32)
+    rel_t = np.zeros((n_tiles, EDGE_TILE), np.int32)
+    src_t[tile_of_edge, slot_of_edge] = src
+    w_t[tile_of_edge, slot_of_edge] = w
+    rel_t[tile_of_edge, slot_of_edge] = dst % ROW_BLOCK
+
+    block_of_tile = np.zeros(n_tiles, np.int32)
+    nz = np.flatnonzero(tiles_per_block)
+    for b in nz:
+        block_of_tile[tile_base[b] : tile_base[b + 1]] = b
+
+    return TilePlan(
+        src=jnp.asarray(src_t),
+        w=jnp.asarray(w_t),
+        rel=jnp.asarray(rel_t),
+        block_idx=jnp.asarray(block_of_tile),
+        n_rows_padded=n_rows_padded,
+        n_tiles=n_tiles,
+    )
+
+
+def build_plan_from_arrays(src, dst, w, self_w, n_nodes: int) -> SpmmPlan:
+    """Build forward + transpose tile plans from host numpy edge arrays."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    w = np.asarray(w)
+    return SpmmPlan(
+        fwd=_build_tile_plan(src, dst, w, n_nodes),
+        bwd=_build_tile_plan(dst, src, w, n_nodes),
+        self_w=jnp.asarray(self_w),
+        n_nodes=n_nodes,
+    )
+
+
+def build_plan(adj) -> SpmmPlan:
+    """Build forward + transpose tile plans from a NormAdj."""
+    return build_plan_from_arrays(
+        np.asarray(adj.src), np.asarray(adj.dst), np.asarray(adj.w), adj.self_w, adj.n_nodes
+    )
+
+
+# ------------------------------------------------------------------ kernel
+
+
+def _spmm_kernel(block_ref, xg_ref, w_ref, rel_ref, out_ref):
+    i = pl.program_id(0)
+    prev = block_ref[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, block_ref[i] != prev)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    contrib = xg_ref[0] * w_ref[:].reshape(EDGE_TILE, 1)  # [E_T, H]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, EDGE_TILE), 0)
+    onehot = (rows == rel_ref[:].reshape(1, EDGE_TILE)).astype(jnp.float32)
+    out_ref[:] += jnp.dot(onehot, contrib, preferred_element_type=jnp.float32)
+
+
+def _edge_vec_spec():
+    # per-tile edge vectors (w, rel) ride as [T*8, 128] arrays so each tile's
+    # EDGE_TILE values form one aligned (8, 128) block
+    return pl.BlockSpec(
+        (EDGE_TILE // LANE, LANE), lambda i, blk: (i, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _run_tiles(plan: TilePlan, x: jax.Array) -> jax.Array:
+    """Apply the tiled aggregation: returns [n_rows_padded, H_pad]."""
+    n, h = x.shape
+    h_pad = max(LANE, -(-h // LANE) * LANE)
+    n_pad = max(plan.n_rows_padded, -(-n // ROW_BLOCK) * ROW_BLOCK)
+    x_pad = jnp.zeros((n_pad, h_pad), x.dtype).at[:n, :h].set(x)
+
+    t = plan.n_tiles
+    xg = jnp.take(x_pad, plan.src.reshape(-1), axis=0).reshape(t, EDGE_TILE, h_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, EDGE_TILE, h_pad), lambda i, blk: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            _edge_vec_spec(),
+            _edge_vec_spec(),
+        ],
+        out_specs=pl.BlockSpec(
+            (ROW_BLOCK, h_pad), lambda i, blk: (blk[i], 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        _spmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.n_rows_padded, h_pad), jnp.float32),
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * EDGE_TILE * ROW_BLOCK * h_pad,
+            bytes_accessed=t * EDGE_TILE * (h_pad * 4 + 8) + plan.n_rows_padded * h_pad * 4,
+            transcendentals=0,
+        ),
+    )(
+        plan.block_idx,
+        xg,
+        plan.w.reshape(-1, LANE),
+        plan.rel.reshape(-1, LANE),
+    )
+    return out[:n, :h]
+
+
+def _zero_cotangent(tree):
+    return jax.tree.map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        if not jnp.issubdtype(a.dtype, jnp.floating)
+        else jnp.zeros_like(a),
+        tree,
+    )
+
+
+@jax.custom_vjp
+def _spmm_pallas(x, fwd_plan, bwd_plan):
+    return _run_tiles(fwd_plan, x)
+
+
+def _spmm_fwd(x, fwd_plan, bwd_plan):
+    return _run_tiles(fwd_plan, x), (fwd_plan, bwd_plan)
+
+
+def _spmm_bwd(res, g):
+    fwd_plan, bwd_plan = res
+    dx = _run_tiles(bwd_plan, g)
+    return (dx, _zero_cotangent(fwd_plan), _zero_cotangent(bwd_plan))
+
+
+_spmm_pallas.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def spmm_pallas(plan: SpmmPlan, x: jax.Array) -> jax.Array:
+    """``(A_hat - diag(self_w)) @ x`` via the Pallas tile kernel.
+    The self-loop diagonal is applied by the caller (ops/spmm.py)."""
+    return _spmm_pallas(x, plan.fwd, plan.bwd)

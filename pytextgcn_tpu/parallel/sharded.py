@@ -1,0 +1,131 @@
+"""Multi-chip edge-partitioned SpMM (shard_map over a named mesh).
+
+The reference is single-process single-device (SURVEY.md §2.4); its only
+gesture at scaling is a dead mini-batcher stub (batching.py:9-55). The
+TPU-native scaling strategy is *graph partitioning*, the GNN analogue of
+sequence parallelism:
+
+* the adjacency is 1D row-partitioned: device ``d`` owns output rows
+  ``[d * rows_per, (d+1) * rows_per)`` and every edge whose destination
+  falls there (host-side plan, padded to equal per-device edge counts so
+  shapes are uniform),
+* node features are replicated (N x H is tens of MB — far below HBM);
+  each device aggregates its row block locally, then an ``all_gather``
+  over the mesh axis reassembles the full activation for the next layer.
+  XLA turns the gather's transpose into a reduce-scatter in backward, so
+  gradients ride the same ICI links,
+* edges/s scales linearly: each chip touches E / n_devices edges.
+
+``ShardedAdj`` quacks like :class:`pytextgcn_tpu.ops.NormAdj` — the models
+and Trainer are oblivious; ``ops.spmm`` dispatches on the container type.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.graph import TextGraph, gcn_normalize_np
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "graph") -> Mesh:
+    devs = jax.devices()
+    n = len(devs) if n_devices is None else n_devices
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["src", "dst_local", "w", "self_w"],
+    meta_fields=["n_nodes", "rows_per", "mesh", "axis"],
+)
+@dataclasses.dataclass
+class ShardedAdj:
+    """Row-partitioned normalized adjacency.
+
+    src:       int32 [D, E_max] global source ids (0 on padding)
+    dst_local: int32 [D, E_max] destination row local to the shard
+    w:         float32 [D, E_max] normalized weights (0 on padding)
+    self_w:    float32 [N] self-loop diagonal (replicated)
+    """
+
+    src: jax.Array
+    dst_local: jax.Array
+    w: jax.Array
+    self_w: jax.Array
+    n_nodes: int
+    rows_per: int
+    mesh: Mesh
+    axis: str
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.src.shape[0])
+
+
+def build_sharded_adj(g: TextGraph, mesh: Mesh, axis: str = "graph") -> ShardedAdj:
+    """Host-side partition: normalize, split edges by destination row block,
+    pad shards to a uniform edge count."""
+    n_dev = mesh.shape[axis]
+    src = np.asarray(g.edge_src, np.int64)
+    dst = np.asarray(g.edge_dst, np.int64)
+    norm_w, self_w = gcn_normalize_np(src, dst, np.asarray(g.edge_w), g.n_nodes)
+
+    rows_per = -(-g.n_nodes // n_dev)
+    shard_of_edge = dst // rows_per
+    order = np.argsort(shard_of_edge, kind="stable")
+    src, dst, norm_w = src[order], dst[order], norm_w[order]
+    shard_of_edge = shard_of_edge[order]
+    counts = np.bincount(shard_of_edge, minlength=n_dev)
+    e_max = max(int(counts.max()), 1)
+
+    src_s = np.zeros((n_dev, e_max), np.int32)
+    dstl_s = np.zeros((n_dev, e_max), np.int32)
+    w_s = np.zeros((n_dev, e_max), np.float32)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for d in range(n_dev):
+        lo, hi = starts[d], starts[d + 1]
+        k = hi - lo
+        src_s[d, :k] = src[lo:hi]
+        dstl_s[d, :k] = dst[lo:hi] - d * rows_per
+        w_s[d, :k] = norm_w[lo:hi]
+
+    return ShardedAdj(
+        src=jnp.asarray(src_s),
+        dst_local=jnp.asarray(dstl_s),
+        w=jnp.asarray(w_s),
+        self_w=jnp.asarray(self_w),
+        n_nodes=g.n_nodes,
+        rows_per=rows_per,
+        mesh=mesh,
+        axis=axis,
+    )
+
+
+def spmm_sharded(adj: ShardedAdj, x: jax.Array) -> jax.Array:
+    """``A_hat @ x`` with the aggregation row-partitioned over the mesh."""
+    rows_per, n_nodes, axis = adj.rows_per, adj.n_nodes, adj.axis
+    h = x.shape[1]
+
+    def local_agg(src, dst_local, w, x_full):
+        # local views: src/dst_local/w are (1, E_max); x_full replicated
+        contrib = w[0][:, None] * jnp.take(x_full, src[0], axis=0)
+        local = jax.ops.segment_sum(contrib, dst_local[0], num_segments=rows_per)
+        full = jax.lax.all_gather(local, axis, axis=0, tiled=True)
+        return full[:n_nodes]
+
+    fn = jax.shard_map(
+        local_agg,
+        mesh=adj.mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P()),
+        out_specs=P(),
+        check_vma=False,  # all_gather output IS replicated; the static
+        # varying-mesh-axes analysis can't prove it
+    )
+    return fn(adj.src, adj.dst_local, adj.w, x) + adj.self_w[:, None] * x

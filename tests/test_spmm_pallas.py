@@ -1,0 +1,83 @@
+"""Pallas SpMM kernel vs the XLA segment path (interpreter mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pytextgcn_tpu.core.graph import TextGraph
+from pytextgcn_tpu.ops import NormAdj, NodeFeatures
+from pytextgcn_tpu.ops.spmm import spmm, spmm_segment
+
+
+def make_adj(rng, n_nodes=700, n_edges=5000, use_pallas=True):
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    w = (rng.random(n_edges).astype(np.float32) + 0.05)
+    g = TextGraph(
+        edge_src=jnp.asarray(src),
+        edge_dst=jnp.asarray(dst),
+        edge_w=jnp.asarray(w),
+        y=jnp.zeros(n_nodes, jnp.int32),
+        train_mask=jnp.zeros(n_nodes, bool),
+        val_mask=jnp.zeros(n_nodes, bool),
+        test_mask=jnp.zeros(n_nodes, bool),
+        n_vocab=n_nodes // 2,
+        n_docs=n_nodes - n_nodes // 2,
+    )
+    return NormAdj.from_graph(g, use_pallas=use_pallas)
+
+
+def test_pallas_forward_matches_segment():
+    rng = np.random.default_rng(0)
+    adj = make_adj(rng)
+    x = jnp.asarray(rng.standard_normal((adj.n_nodes, 40)).astype(np.float32))
+    got = spmm(adj, x)  # pallas path (plan present)
+    want = spmm_segment(adj, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_gradient_matches_segment():
+    rng = np.random.default_rng(1)
+    adj = make_adj(rng, n_nodes=300, n_edges=1500)
+    x = jnp.asarray(rng.standard_normal((adj.n_nodes, 16)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((adj.n_nodes, 16)).astype(np.float32))
+
+    def loss_pallas(x):
+        return jnp.sum((spmm(adj, x) - tgt) ** 2)
+
+    def loss_segment(x):
+        return jnp.sum((spmm_segment(adj, x) - tgt) ** 2)
+
+    g_pallas = jax.grad(loss_pallas)(x)
+    g_segment = jax.grad(loss_segment)(x)
+    np.testing.assert_allclose(
+        np.asarray(g_pallas), np.asarray(g_segment), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_pallas_inside_jit_and_empty_rows():
+    rng = np.random.default_rng(2)
+    # skewed graph: many empty rows, hub nodes
+    n = 520
+    src = rng.integers(0, 10, 4000).astype(np.int32)
+    dst = np.concatenate([rng.integers(0, 5, 3500), rng.integers(0, n, 500)]).astype(
+        np.int32
+    )
+    w = rng.random(4000).astype(np.float32)
+    g = TextGraph(
+        edge_src=jnp.asarray(src),
+        edge_dst=jnp.asarray(dst),
+        edge_w=jnp.asarray(w),
+        y=jnp.zeros(n, jnp.int32),
+        train_mask=jnp.zeros(n, bool),
+        val_mask=jnp.zeros(n, bool),
+        test_mask=jnp.zeros(n, bool),
+        n_vocab=n // 2,
+        n_docs=n - n // 2,
+    )
+    adj = NormAdj.from_graph(g, use_pallas=True)
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    got = jax.jit(lambda a, b: spmm(a, b))(adj, x)
+    want = spmm_segment(adj, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
