@@ -1,0 +1,247 @@
+"""TF-IDF + MLP baselines: flat, per-level cascade, per-label ensemble.
+
+Re-design of the reference's MLP_flat.py / MLP_level.py / MLP_label.py +
+mlp_helper.py. Semantics kept:
+
+* features: TfidfVectorizer-equivalent fit on the *train* split only
+  (sklearn 'english' stopword list, max_df=0.9 — mlp_helper.py:38,88),
+  val/test transformed with the fitted vocabulary/idf,
+* full-batch training, Adam, mean CE, SELU+dropout MLP [256, 128],
+* early stopping: patience on val macro-F1 (MLP_flat.py:95-100: stop when
+  the last ``patience`` F1s are all <= the F1 ``patience+1`` epochs ago),
+* per-level: one-hot of the previous level appended to the sparse features —
+  ground truth for train/val, *predictions* for test (MLP_level.py:112-119),
+* per-label: one child model per parent class, test docs routed by the
+  previous level's *predicted* labels (MLP_label.py:158-162 — unlike the
+  GCN per-label eval, which routes by ground truth).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from scipy import sparse as sp
+
+from ..build.stopwords import get_stopwords
+from ..build.vectorizer import CountVectorizer, TfidfTransform
+from ..models.mlp import MLP, SparseMatrix
+from ..train.metrics import accuracy, macro_f1, masked_cross_entropy
+
+
+@dataclasses.dataclass
+class MlpSplits:
+    x_train: sp.csr_matrix
+    x_val: sp.csr_matrix
+    x_test: sp.csr_matrix
+    y_train: List[np.ndarray]
+    y_val: List[np.ndarray]
+    y_test: List[np.ndarray]
+
+
+def fit_tfidf_splits(
+    train_docs: Sequence[str],
+    val_docs: Sequence[str],
+    test_docs: Sequence[str],
+    y_train: Sequence[Sequence[int]],
+    y_val: Sequence[Sequence[int]],
+    y_test: Sequence[Sequence[int]],
+    max_df: float = 0.9,
+) -> MlpSplits:
+    """TF-IDF features fit on train only (mlp_helper.py:38-42)."""
+    cv = CountVectorizer(min_df=1, max_df=max_df, stop_words=get_stopwords("sklearn"))
+    c_train = cv.fit_transform(list(train_docs))
+    tf = TfidfTransform()
+    x_train = tf.fit_transform(c_train)
+    x_val = tf.transform(cv.transform(list(val_docs)))
+    x_test = tf.transform(cv.transform(list(test_docs)))
+    return MlpSplits(
+        x_train,
+        x_val,
+        x_test,
+        [np.asarray(y) for y in y_train],
+        [np.asarray(y) for y in y_val],
+        [np.asarray(y) for y in y_test],
+    )
+
+
+def append_onehot_feats(x: sp.csr_matrix, labels: np.ndarray, n_classes: int):
+    """hstack a one-hot label block onto sparse features (the reference's
+    ``append_feats``, mlp_helper.py:141-151)."""
+    labels = np.asarray(labels, np.int64)
+    oh = sp.csr_matrix(
+        (np.ones(len(labels), np.float64), (np.arange(len(labels)), labels)),
+        shape=(len(labels), n_classes),
+    )
+    return sp.hstack([x, oh]).tocsr()
+
+
+def train_mlp(
+    x_train: sp.csr_matrix,
+    y_train: np.ndarray,
+    x_val: sp.csr_matrix,
+    y_val: np.ndarray,
+    n_classes: int,
+    hidden: Sequence[int] = (256, 128),
+    lr: float = 2e-3,
+    dropout: float = 0.5,
+    epochs: int = 500,
+    seed: int = 44,
+    early_stopping: bool = True,
+    patience: int = 10,
+    min_epochs: int = 30,
+    verbose: int = 0,
+):
+    """Full-batch MLP training; returns (model, params, history)."""
+    xs_tr = SparseMatrix.from_scipy(x_train)
+    xs_va = SparseMatrix.from_scipy(x_val)
+    y_tr = jnp.asarray(np.asarray(y_train, np.int32))
+    y_va = jnp.asarray(np.asarray(y_val, np.int32))
+    mask_tr = jnp.ones(y_tr.shape[0], bool)
+    mask_va = jnp.ones(y_va.shape[0], bool)
+
+    model = MLP(x_train.shape[1], n_classes, list(hidden), dropout=dropout)
+    key = jax.random.PRNGKey(seed)
+    key, ik = jax.random.split(key)
+    params = model.init(ik)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, rng):
+        def loss_fn(p):
+            logits = model.apply(p, xs_tr, train=True, rng=rng)
+            return masked_cross_entropy(logits, y_tr, mask_tr)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def evaluate(params):
+        logits = model.apply(params, xs_va, train=False)
+        pred = jnp.argmax(logits, axis=-1)
+        return macro_f1(pred, y_va, mask_va, n_classes)
+
+    history = []
+    for epoch in range(epochs):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+        f1_val = float(evaluate(params))
+        history.append((float(loss), f1_val))
+        if verbose > 0:
+            print(f"[{epoch + 1}] loss: {history[-1][0]: .3f}, val_f1: {f1_val: .3f}")
+        if early_stopping and epoch > min_epochs:
+            dec = sum(
+                history[-(i + 1)][1] <= history[-(patience + 1)][1]
+                for i in range(patience)
+            )
+            if dec >= patience:
+                if verbose > 0:
+                    print(f"Early stopping! Validation f1 decreased for {dec} epochs!")
+                break
+    return model, params, history
+
+
+def _predict(model, params, x: sp.csr_matrix) -> np.ndarray:
+    xs = SparseMatrix.from_scipy(x)
+    logits = jax.jit(lambda p: model.apply(p, xs, train=False))(params)
+    return np.asarray(jnp.argmax(logits, axis=-1))
+
+
+def _test_metrics(pred: np.ndarray, y: np.ndarray) -> dict:
+    n = int(max(pred.max(initial=0), y.max(initial=0))) + 1
+    m = jnp.ones(len(y), bool)
+    return {
+        "accuracy": float(accuracy(jnp.asarray(pred), jnp.asarray(y), m)),
+        "f1_macro": float(macro_f1(jnp.asarray(pred), jnp.asarray(y), m, n)),
+    }
+
+
+def mlp_flat(splits: MlpSplits, level: int, **train_kwargs) -> dict:
+    """Flat MLP on one label level (MLP_flat.py)."""
+    n_classes = int(np.max(splits.y_train[level])) + 1
+    model, params, hist = train_mlp(
+        splits.x_train,
+        splits.y_train[level],
+        splits.x_val,
+        splits.y_val[level],
+        n_classes,
+        **train_kwargs,
+    )
+    pred = _predict(model, params, splits.x_test)
+    out = _test_metrics(pred, splits.y_test[level])
+    out.update({"model": model, "params": params, "history": hist, "pred": pred})
+    return out
+
+
+def mlp_per_level(splits: MlpSplits, **train_kwargs) -> List[dict]:
+    """Per-level cascade over all levels (MLP_level.py): GT one-hot appended
+    for train/val, predicted one-hot for test."""
+    results = [mlp_flat(splits, 0, **train_kwargs)]
+    x_train, x_val, x_test = splits.x_train, splits.x_val, splits.x_test
+    y_pred = results[0]["pred"]
+    for cat in range(len(splits.y_train) - 1):
+        n_prev = int(
+            max(splits.y_train[cat].max(), splits.y_val[cat].max(), splits.y_test[cat].max())
+        ) + 1
+        x_train = append_onehot_feats(x_train, splits.y_train[cat], n_prev)
+        x_val = append_onehot_feats(x_val, splits.y_val[cat], n_prev)
+        x_test = append_onehot_feats(x_test, y_pred, n_prev)
+        n_classes = int(np.max(splits.y_train[cat + 1])) + 1
+        model, params, hist = train_mlp(
+            x_train,
+            splits.y_train[cat + 1],
+            x_val,
+            splits.y_val[cat + 1],
+            n_classes,
+            **train_kwargs,
+        )
+        pred = _predict(model, params, x_test)
+        res = _test_metrics(pred, splits.y_test[cat + 1])
+        res.update({"model": model, "params": params, "history": hist, "pred": pred})
+        results.append(res)
+        y_pred = pred
+    return results
+
+
+def mlp_per_label(splits: MlpSplits, **train_kwargs) -> List[dict]:
+    """Per-label ensemble over level transitions (MLP_label.py): filter rows
+    by parent class, relabel children contiguously, route test docs by the
+    previous level's predictions."""
+    results = [mlp_flat(splits, 0, **train_kwargs)]
+    y_pred = results[0]["pred"]
+    for cat in range(len(splits.y_train) - 1):
+        y_tr_c, y_va_c, y_te_c = (
+            splits.y_train[cat + 1],
+            splits.y_val[cat + 1],
+            splits.y_test[cat + 1],
+        )
+        predictions = np.zeros_like(y_te_c)
+        for label in np.unique(splits.y_train[cat]):
+            tr_mask = splits.y_train[cat] == label
+            va_mask = splits.y_val[cat] == label
+            classes = np.unique(y_tr_c[tr_mask])
+            local = np.searchsorted(classes, y_tr_c)
+            local_val = np.searchsorted(classes, y_va_c)
+            model, params, _ = train_mlp(
+                splits.x_train[tr_mask],
+                local[tr_mask],
+                splits.x_val[va_mask],
+                local_val[va_mask],
+                len(classes),
+                **train_kwargs,
+            )
+            te_mask = y_pred == label
+            if te_mask.any():
+                pred_local = _predict(model, params, splits.x_test[te_mask])
+                predictions[te_mask] = classes[pred_local]
+        res = _test_metrics(predictions, y_te_c)
+        res["pred"] = predictions
+        results.append(res)
+        y_pred = predictions
+    return results

@@ -144,17 +144,18 @@ class Text2Graph:
 
         hf = None
         if hierarchy_feats is not None:
-            hf = jnp.asarray(np.asarray(hierarchy_feats, dtype=np.float32))
+            hf = np.asarray(hierarchy_feats, dtype=np.float32)
             assert hf.shape[0] == n_docs, "hierarchy_feats must be [n_docs, F]"
 
+        # host-side container: numpy leaves (see core/graph.py docstring)
         g = TextGraph(
-            edge_src=jnp.asarray(src.astype(np.int32)),
-            edge_dst=jnp.asarray(dst.astype(np.int32)),
-            edge_w=jnp.asarray(w),
-            y=jnp.asarray(y_nodes),
-            train_mask=jnp.asarray(train_mask),
-            val_mask=jnp.asarray(val_mask),
-            test_mask=jnp.asarray(test_mask),
+            edge_src=src.astype(np.int32),
+            edge_dst=dst.astype(np.int32),
+            edge_w=w,
+            y=y_nodes,
+            train_mask=train_mask,
+            val_mask=val_mask,
+            test_mask=test_mask,
             n_vocab=int(n_vocab),
             n_docs=int(n_docs),
             hierarchy_feats=hf,

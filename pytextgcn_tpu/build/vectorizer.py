@@ -121,6 +121,28 @@ class CountVectorizer:
         out.sort_indices()
         return out
 
+    def transform(self, docs: Sequence[str]) -> sp.csr_matrix:
+        """Counts for new documents using the fitted vocabulary (sklearn
+        ``CountVectorizer.transform`` — unknown terms are dropped)."""
+        assert self.vocabulary_, "fit_transform first"
+        vocab = self.vocabulary_
+        stop = self.stop_words or frozenset()
+        indptr = np.zeros(len(docs) + 1, dtype=np.int64)
+        cols = []
+        for i, d in enumerate(docs):
+            toks = tokenize(d) if self.lowercase else _TOKEN_RE.findall(d)
+            c = [vocab[t] for t in toks if len(t) >= 2 and t not in stop and t in vocab]
+            cols.append(np.asarray(c, dtype=np.int64))
+            indptr[i + 1] = indptr[i] + len(c)
+        all_cols = np.concatenate(cols) if cols else np.zeros(0, np.int64)
+        out = sp.csr_matrix(
+            (np.ones(all_cols.shape[0], np.int64), all_cols, indptr),
+            shape=(len(docs), len(vocab)),
+        )
+        out.sum_duplicates()
+        out.sort_indices()
+        return out
+
     def encode_documents(
         self, docs: Sequence[str], max_length: Optional[int] = None
     ) -> np.ndarray:
@@ -155,6 +177,10 @@ class TfidfTransform:
         n_docs, n_terms = counts.shape
         df = np.diff(sp.csc_matrix(counts.astype(bool)).indptr).astype(np.float64)
         self.idf_ = np.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+        return self.transform(counts)
+
+    def transform(self, counts: sp.csr_matrix) -> sp.csr_matrix:
+        assert self.idf_ is not None, "fit_transform first"
         out = counts.astype(np.float64).multiply(self.idf_[None, :]).tocsr()
         norms = np.sqrt(np.asarray(out.multiply(out).sum(axis=1))).ravel()
         norms[norms == 0] = 1.0

@@ -287,10 +287,20 @@ def word_word_edges(
     window_size: int = 20,
     backend: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray, int]:
-    """Compute word-word PMI edges. ``backend``: 'device' (JAX, default for
-    'auto'), 'native' (multithreaded C++ host kernel), or 'oracle'
-    (python-loop clone; tiny inputs only)."""
-    if backend in ("auto", "device"):
+    """Compute word-word PMI edges. ``backend``: 'native' (multithreaded C++
+    host kernel), 'device' (JAX sort/segment ops), or 'oracle' (python-loop
+    clone; tiny inputs only). 'auto' prefers native — graph construction is
+    one-time host preprocessing and the C++ kernel avoids device round-trips
+    (which are very expensive on tunneled TPU backends) — falling back to the
+    device path if the toolchain is unavailable."""
+    if backend == "auto":
+        try:
+            from .native_bridge import native_word_word_edges
+
+            return native_word_word_edges(tokens, n_vocab, window_size)
+        except Exception:
+            return word_word_edges_device(tokens, n_vocab, window_size)
+    if backend == "device":
         return word_word_edges_device(tokens, n_vocab, window_size)
     if backend == "native":
         from .native_bridge import native_word_word_edges

@@ -43,6 +43,15 @@ import numpy as np
 class TextGraph:
     """Heterogeneous word/document graph over a corpus.
 
+    A **host-side artifact**: leaves are numpy arrays by convention. The
+    build layer produces it, checkpoints serialize it, and the device
+    objects (:class:`~pytextgcn_tpu.ops.NormAdj`,
+    :class:`~pytextgcn_tpu.ops.NodeFeatures`, the Trainer's label/mask
+    tensors) are created from it exactly once per training run. Keeping the
+    canonical copy on host means finalization (normalization, Pallas plans,
+    sharding splits) never round-trips device->host — on remote-tunneled
+    TPU backends that path is orders of magnitude slower than host RAM.
+
     Attributes:
       edge_src: int32 [E] — source node id per edge.
       edge_dst: int32 [E] — destination node id per edge.
@@ -118,17 +127,17 @@ class TextGraph:
         with np.load(path) as z:
             meta = json.loads(bytes(z["meta"]).decode())
             return TextGraph(
-                edge_src=jnp.asarray(z["edge_src"]),
-                edge_dst=jnp.asarray(z["edge_dst"]),
-                edge_w=jnp.asarray(z["edge_w"]),
-                y=jnp.asarray(z["y"]),
-                train_mask=jnp.asarray(z["train_mask"]),
-                val_mask=jnp.asarray(z["val_mask"]),
-                test_mask=jnp.asarray(z["test_mask"]),
+                edge_src=z["edge_src"],
+                edge_dst=z["edge_dst"],
+                edge_w=z["edge_w"],
+                y=z["y"],
+                train_mask=z["train_mask"],
+                val_mask=z["val_mask"],
+                test_mask=z["test_mask"],
                 n_vocab=int(meta["n_vocab"]),
                 n_docs=int(meta["n_docs"]),
-                hierarchy_feats=jnp.asarray(z["hierarchy_feats"]) if "hierarchy_feats" in z else None,
-                x=jnp.asarray(z["x"]) if "x" in z else None,
+                hierarchy_feats=z["hierarchy_feats"] if "hierarchy_feats" in z else None,
+                x=z["x"] if "x" in z else None,
             )
 
 

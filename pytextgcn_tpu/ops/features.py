@@ -39,7 +39,10 @@ class NodeFeatures:
     @staticmethod
     def from_graph(g: TextGraph) -> "NodeFeatures":
         return NodeFeatures(
-            n_vocab=g.n_vocab, n_docs=g.n_docs, x=g.x, hierarchy=g.hierarchy_feats
+            n_vocab=g.n_vocab,
+            n_docs=g.n_docs,
+            x=None if g.x is None else jnp.asarray(g.x),
+            hierarchy=None if g.hierarchy_feats is None else jnp.asarray(g.hierarchy_feats),
         )
 
     @property

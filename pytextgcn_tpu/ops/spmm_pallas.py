@@ -150,10 +150,18 @@ def _spmm_kernel(block_ref, xg_ref, w_ref, rel_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    contrib = xg_ref[0] * w_ref[:].reshape(EDGE_TILE, 1)  # [E_T, H]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, EDGE_TILE), 0)
-    onehot = (rows == rel_ref[:].reshape(1, EDGE_TILE)).astype(jnp.float32)
-    out_ref[:] += jnp.dot(onehot, contrib, preferred_element_type=jnp.float32)
+    # Weighted one-hot scatter matrix M[r, e] = w[e] * (rel[e] == r), built
+    # lane-slice by lane-slice (w/rel arrive as (8, 128) blocks; broadcasting
+    # a (1, 128) row against the (ROW_BLOCK, 128) iota keeps every op in a
+    # Mosaic-supported layout — no 1D<->2D shape casts).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, LANE), 0)
+    slices = []
+    for s in range(EDGE_TILE // LANE):
+        rel_s = rel_ref[s, :][None, :]  # (1, LANE) int32
+        w_s = w_ref[s, :][None, :]  # (1, LANE) f32
+        slices.append(jnp.where(rows == rel_s, w_s, 0.0))
+    m = jnp.concatenate(slices, axis=1)  # (ROW_BLOCK, EDGE_TILE)
+    out_ref[:] += jnp.dot(m, xg_ref[0], preferred_element_type=jnp.float32)
 
 
 def _edge_vec_spec():

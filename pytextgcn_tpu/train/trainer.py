@@ -15,6 +15,7 @@ from typing import Any, Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..core.graph import TextGraph
@@ -97,9 +98,14 @@ class Trainer:
         ``'val_f1'`` is the patience scheme of MLP_flat.py:54,100-110.
         """
         if n_classes is None:
-            n_classes = int(jax.device_get(jnp.max(g.y))) + 1
+            n_classes = int(np.max(np.asarray(g.y))) + 1
         adj, feats = self.prepare(g)
         train_step, eval_step = self._steps(n_classes)
+        # one-time host->device upload of labels/masks (the TextGraph itself
+        # stays on host)
+        y = jnp.asarray(g.y)
+        train_mask = jnp.asarray(g.train_mask)
+        val_mask = jnp.asarray(g.val_mask)
 
         key = jax.random.PRNGKey(self.seed)
         key, init_key = jax.random.split(key)
@@ -114,11 +120,11 @@ class Trainer:
         for epoch in range(epochs):
             key, sub = jax.random.split(key)
             self.params, self.opt_state, loss = train_step(
-                self.params, self.opt_state, sub, adj, feats, g.y, g.train_mask
+                self.params, self.opt_state, sub, adj, feats, y, train_mask
             )
             rec = {"loss": float(loss)}
             if (epoch + 1) % eval_every == 0 or epoch == epochs - 1:
-                m = eval_step(self.params, adj, feats, g.y, g.train_mask, g.val_mask)
+                m = eval_step(self.params, adj, feats, y, train_mask, val_mask)
                 rec.update({k: float(v) for k, v in m.items()})
                 if verbose > 0:
                     log_fn(
@@ -158,11 +164,12 @@ class Trainer:
     def evaluate(self, g: TextGraph, mask=None, n_classes: Optional[int] = None):
         """Test metrics over ``mask`` (default: the graph's test_mask)."""
         if n_classes is None:
-            n_classes = int(jax.device_get(jnp.max(g.y))) + 1
-        mask = g.test_mask if mask is None else mask
+            n_classes = int(np.max(np.asarray(g.y))) + 1
+        mask = jnp.asarray(g.test_mask if mask is None else mask)
+        y = jnp.asarray(g.y)
         logits = self.predict_logits(g)
         pred = jnp.argmax(logits, axis=-1)
         return {
-            "accuracy": float(accuracy(pred, g.y, mask)),
-            "f1_macro": float(macro_f1(pred, g.y, mask, n_classes)),
+            "accuracy": float(accuracy(pred, y, mask)),
+            "f1_macro": float(macro_f1(pred, y, mask, n_classes)),
         }

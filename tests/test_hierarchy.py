@@ -1,0 +1,82 @@
+"""Per-level cascade and per-label ensemble on a synthetic 2-level corpus."""
+
+import numpy as np
+import pytest
+
+from pytextgcn_tpu import Text2Graph
+from pytextgcn_tpu.data import synthetic_corpus
+from pytextgcn_tpu.hierarchy import eval_per_label, train_per_label, train_per_level
+from pytextgcn_tpu.models import GCN
+
+
+@pytest.fixture(scope="module")
+def hier_corpus():
+    docs, child, parent = synthetic_corpus(
+        n_docs=140, n_classes=4, n_parents=2, seed=11
+    )
+    n = len(docs)
+    rng = np.random.default_rng(1)
+    test_idx = rng.choice(n, n // 5, replace=False)
+    t2g = Text2Graph(min_df=1, window_size=5)
+    g = t2g.fit_transform(docs, child, test_idx=test_idx)
+    return g, np.asarray(child), np.asarray(parent), test_idx
+
+
+def test_per_level_cascade(hier_corpus):
+    g, child, parent, _ = hier_corpus
+    res = train_per_level(
+        g,
+        [parent, child],
+        model_factory=lambda d_in, d_out: GCN(d_in, d_out, n_hidden_gcn=32, dropout=0.3),
+        epochs=60,
+        verbose=0,
+    )
+    assert len(res["trainers"]) == 2
+    assert res["metrics"]["accuracy"] >= 0.6, res["metrics"]
+    # level-2 graphs carried hierarchy features
+    assert res["trainers"][1]._feats.hierarchy is not None
+
+
+def test_per_label_ensemble(hier_corpus, tmp_path):
+    g, child, parent, _ = hier_corpus
+    out = train_per_label(
+        g,
+        child,
+        parent,
+        model_factory=lambda d_in, d_out: GCN(d_in, d_out, n_hidden_gcn=32, dropout=0.3),
+        epochs=60,
+        save_dir=str(tmp_path),
+    )
+    assert len(out["trainers"]) == 2
+    # mapping covers all child classes exactly once
+    all_children = sorted(c for v in out["mapping"].values() for c in v)
+    assert all_children == sorted(np.unique(child).tolist())
+    assert (tmp_path / "class_mapping.json").exists()
+    assert (tmp_path / "lvl2-cat0.npz").exists()
+
+    m_gt = eval_per_label(g, child, parent, out["trainers"], out["mapping"])
+    assert m_gt["accuracy"] >= 0.6, m_gt
+    # predicted-route variant also runs
+    rng = np.random.default_rng(0)
+    fake_parent_pred = parent.copy()
+    flip = rng.random(len(parent)) < 0.1
+    fake_parent_pred[flip] = 1 - fake_parent_pred[flip]
+    m_pr = eval_per_label(
+        g, child, parent, out["trainers"], out["mapping"],
+        parent_pred=fake_parent_pred, route="predicted",
+    )
+    assert m_pr["accuracy"] <= m_gt["accuracy"] + 0.15
+
+
+def test_checkpoint_roundtrip(tmp_path, hier_corpus):
+    import jax
+
+    g, child, parent, _ = hier_corpus
+    from pytextgcn_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    model = GCN(g.in_dim, 4, n_hidden_gcn=8)
+    params = model.init(jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path / "ck"), params, meta={"k": 1})
+    loaded, _ = load_checkpoint(str(tmp_path / "ck"), params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
