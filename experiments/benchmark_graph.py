@@ -1,0 +1,44 @@
+"""Graph-construction benchmark (benchmark_graph.py counterpart): times the
+corpus -> graph pipeline without training, for each counting backend.
+
+    python experiments/benchmark_graph.py --n-docs 2000
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from common import load_corpus  # noqa: F401  (path setup side effect)
+from pytextgcn_tpu import Text2Graph
+from pytextgcn_tpu.data import synthetic_corpus
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-docs", type=int, default=2000)
+    p.add_argument("--n-classes", type=int, default=10)
+    p.add_argument("--window-size", type=int, default=20)
+    p.add_argument("--min-df", type=int, default=1)
+    p.add_argument("--backends", nargs="+", default=["native", "device"])
+    args = p.parse_args(argv)
+
+    docs, labels = synthetic_corpus(
+        n_docs=args.n_docs, n_classes=args.n_classes,
+        vocab_per_class=120, shared_vocab=800, doc_len=(30, 180), seed=0,
+    )
+    test_idx = np.arange(len(docs) - len(docs) // 5, len(docs))
+    for backend in args.backends:
+        t0 = time.time()
+        t2g = Text2Graph(min_df=args.min_df, window_size=args.window_size, backend=backend)
+        g = t2g.fit_transform(docs, labels, test_idx=test_idx)
+        dt = time.time() - t0
+        print(
+            f"backend={backend}: {dt:.2f}s total, {g.n_edges} edges, "
+            f"{g.n_vocab} vocab, {g.n_edges / dt / 1e6:.2f} Medges/s end-to-end"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Shared data-loading for experiment drivers.
+
+Replicates the reference's flat-driver preamble (flat_amazon.py:42-63 /
+flat_dbpedia.py:41-60): load train/test (+val) corpora, concatenate them
+(transductive — the whole corpus is in the graph), draw the random 10% val
+split for Amazon, label-encode over the concatenation. Falls back to a
+synthetic corpus when the CSV datasets (git-LFS, not shipped) are absent.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pytextgcn_tpu.config import ExperimentConfig
+from pytextgcn_tpu.data import synthetic_corpus
+from pytextgcn_tpu.data.loaders import encode_labels, load_amazon, load_dbpedia
+
+
+def load_corpus(cfg: ExperimentConfig, levels=None):
+    """Returns (docs, level_labels [coarse..fine], test_idx, val_idx).
+
+    ``levels``: label column names, coarse to fine; default is a single
+    level given by cfg.labels.
+    """
+    rng = np.random.default_rng(cfg.train.seed)
+    if cfg.dataset == "amazon":
+        cols = levels or [cfg.labels]
+        per_col = []
+        for col in cols:
+            x_tr, y_tr, x_te, y_te = load_amazon(cfg.data_dir or "data/amazon", col)
+            per_col.append((y_tr, y_te))
+        docs = x_tr + x_te
+        n_train = len(x_tr)
+        val_idx = rng.choice(n_train, int(cfg.train.val_split * n_train), replace=False)
+        test_idx = np.arange(n_train, len(docs))
+        labels = [
+            encode_labels(list(y_tr) + list(y_te))[0] for (y_tr, y_te) in per_col
+        ]
+        return docs, labels, test_idx, val_idx
+    if cfg.dataset == "dbpedia":
+        cols = levels or [cfg.labels]
+        per_col = []
+        for col in cols:
+            x_tr, y_tr, x_va, y_va, x_te, y_te = load_dbpedia(
+                cfg.data_dir or "data/dbpedia", col
+            )
+            per_col.append((y_tr, y_va, y_te))
+        docs = x_tr + x_va + x_te
+        n_tr, n_va = len(x_tr), len(x_va)
+        val_idx = np.arange(n_tr, n_tr + n_va)
+        test_idx = np.arange(n_tr + n_va, len(docs))
+        labels = [
+            encode_labels(list(y_tr) + list(y_va) + list(y_te))[0]
+            for (y_tr, y_va, y_te) in per_col
+        ]
+        return docs, labels, test_idx, val_idx
+    # synthetic fallback (2-level hierarchy)
+    docs, child, parent = synthetic_corpus(
+        n_docs=400, n_classes=6, n_parents=3, seed=cfg.train.seed
+    )
+    n = len(docs)
+    test_idx = rng.choice(n, n // 5, replace=False)
+    remaining = np.setdiff1d(np.arange(n), test_idx)
+    val_idx = rng.choice(remaining, n // 10, replace=False)
+    if levels and len(levels) > 1:
+        return docs, [np.asarray(parent), np.asarray(child)], test_idx, val_idx
+    return docs, [np.asarray(child)], test_idx, val_idx

@@ -1,0 +1,80 @@
+"""Flat TextGCN experiment driver.
+
+TPU-native counterpart of flat_amazon.py / flat_dbpedia.py: one transductive
+graph over train+val+test, 2-layer GCN (or EGCN/JK), masked CE, Adam
+(amsgrad), per-epoch val metrics, final test accuracy / macro-F1 appended to
+the results CSV.
+
+Examples:
+    python experiments/flat.py                                   # synthetic
+    python experiments/flat.py --dataset amazon --labels Cat2 \
+        --graph-max-df 0.7 --model-n-hidden 100 --train-seed 44
+    python experiments/flat.py --dataset dbpedia --labels l3 \
+        --graph-max-df 0.4 --graph-min-df 100 --graph-window-size 5 \
+        --graph-max-length 15 --model-n-hidden 32 --model-dropout 0.5 \
+        --train-epochs 100
+"""
+
+import numpy as np
+
+from common import load_corpus
+from pytextgcn_tpu import Text2Graph
+from pytextgcn_tpu.config import ExperimentConfig, make_model, parse_config
+from pytextgcn_tpu.train import Trainer
+from pytextgcn_tpu.train.results import append_result
+
+
+def main(argv=None):
+    cfg = parse_config(argv)
+    docs, labels, test_idx, val_idx = load_corpus(cfg)
+    y = labels[0]
+    n_classes = int(np.max(y)) + 1
+    print(f"Data loaded! {len(docs)} docs, {n_classes} classes")
+
+    t2g = Text2Graph(
+        min_df=cfg.graph.min_df,
+        max_df=cfg.graph.max_df,
+        window_size=cfg.graph.window_size,
+        max_length=cfg.graph.max_length,
+        rm_stopwords=cfg.graph.rm_stopwords,
+        backend=cfg.graph.backend,
+        verbose=cfg.train.verbose,
+        n_jobs=8,
+    )
+    g = t2g.fit_transform(docs, y, test_idx=test_idx, val_idx=val_idx)
+    print("Graph built!")
+
+    model = make_model(cfg.model, g.in_dim, n_classes)
+    trainer = Trainer(
+        model, lr=cfg.train.lr, seed=cfg.train.seed, use_pallas=cfg.train.use_pallas
+    )
+    trainer.fit(
+        g,
+        epochs=cfg.train.epochs,
+        n_classes=n_classes,
+        verbose=cfg.train.verbose,
+        eval_every=cfg.train.eval_every,
+        early_stopping=cfg.train.early_stopping,
+    )
+    metrics = trainer.evaluate(g, n_classes=n_classes)
+    print(f"Test Accuracy: {metrics['accuracy']: .4f}")
+    print(f"F1-Macro: {metrics['f1_macro']: .4f}")
+
+    if cfg.save_model:
+        from pytextgcn_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(cfg.save_model, trainer.params, trainer.opt_state)
+    if cfg.result_file:
+        append_result(
+            cfg.result_file,
+            seed=cfg.train.seed,
+            model=cfg.model.model.upper(),
+            hierarchy="flat",
+            f1_macro=metrics["f1_macro"],
+            accuracy=metrics["accuracy"],
+        )
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Dataclass configs + CLI.
+
+The reference has no config system — every experiment is a script with
+module-level constants edited in place (README.md:44-45; the only CLI arg
+anywhere is the seed in perlabel_amazon.py:34). Here the same knob set is a
+typed config tree with an argparse bridge, shared by all experiment drivers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import List, Optional, Union
+
+
+@dataclasses.dataclass
+class GraphConfig:
+    """Text2Graph knobs (reference: text2graph.py:50-52)."""
+
+    min_df: Union[int, float] = 5
+    max_df: Union[int, float] = 1.0
+    window_size: int = 20
+    max_length: Optional[int] = None
+    rm_stopwords: bool = True
+    backend: str = "auto"  # native | device | oracle | auto
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    model: str = "gcn"  # gcn | egcn | jk | mlp
+    n_hidden: int = 100
+    n_gcn: int = 2
+    dropout: float = 0.7
+    embedding_dim: int = 2000  # egcn only
+    mlp_hidden: List[int] = dataclasses.field(default_factory=lambda: [256, 128])
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: int = 500
+    lr: float = 0.05
+    seed: int = 44
+    val_split: float = 0.1
+    early_stopping: Optional[str] = None  # None | reference | val_f1
+    use_pallas: bool = False
+    eval_every: int = 1
+    verbose: int = 1
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    dataset: str = "synthetic"  # synthetic | amazon | dbpedia
+    data_dir: Optional[str] = None
+    labels: str = "Cat2"  # amazon: Cat1/Cat2; dbpedia: l1/l2/l3
+    result_file: Optional[str] = None
+    save_model: Optional[str] = None
+    graph: GraphConfig = dataclasses.field(default_factory=GraphConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, dc, prefix: str = ""):
+    for f in dataclasses.fields(dc):
+        default = getattr(dc, f.name)
+        if dataclasses.is_dataclass(default):
+            continue  # nested config, added with its own prefix
+        name = f"--{prefix}{f.name.replace('_', '-')}"
+        if isinstance(default, bool):
+            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"), default=default)
+        elif isinstance(default, int):
+            parser.add_argument(name, type=int, default=default)
+        elif isinstance(default, float):
+            parser.add_argument(name, type=float, default=default)
+        elif isinstance(default, list):
+            parser.add_argument(name, type=int, nargs="+", default=default)
+        else:
+            parser.add_argument(name, type=str, default=default)
+
+
+def build_parser(cfg: Optional[ExperimentConfig] = None) -> argparse.ArgumentParser:
+    cfg = cfg or ExperimentConfig()
+    p = argparse.ArgumentParser(description="pytextgcn_tpu experiment driver")
+    _add_dataclass_args(p, cfg)
+    _add_dataclass_args(p, cfg.graph, "graph-")
+    _add_dataclass_args(p, cfg.model, "model-")
+    _add_dataclass_args(p, cfg.train, "train-")
+    return p
+
+
+def parse_config(argv=None, cfg: Optional[ExperimentConfig] = None) -> ExperimentConfig:
+    cfg = cfg or ExperimentConfig()
+    args = vars(build_parser(cfg).parse_args(argv))
+
+    def pull(dc, prefix=""):
+        for f in dataclasses.fields(dc):
+            key = f"{prefix}{f.name}"
+            if key in args and args[key] is not None:
+                setattr(dc, f.name, args[key])
+
+    pull(cfg)
+    pull(cfg.graph, "graph_")
+    pull(cfg.model, "model_")
+    pull(cfg.train, "train_")
+    # argparse 'None' strings back to None
+    for obj, name in ((cfg, "data_dir"), (cfg, "result_file"), (cfg, "save_model"),
+                      (cfg.train, "early_stopping"), (cfg.graph, "max_length")):
+        if getattr(obj, name) in ("None", "none", ""):
+            setattr(obj, name, None)
+    if isinstance(cfg.graph.max_length, str):
+        cfg.graph.max_length = int(cfg.graph.max_length)
+    return cfg
+
+
+def make_model(cfg: ModelConfig, in_dim: int, out_dim: int):
+    from .models import EGCN, GCN, MLP, JumpingKnowledgeNetwork
+
+    if cfg.model == "gcn":
+        return GCN(in_dim, out_dim, n_gcn=cfg.n_gcn, n_hidden_gcn=cfg.n_hidden, dropout=cfg.dropout)
+    if cfg.model == "egcn":
+        return EGCN(
+            in_dim, out_dim, embedding_dim=cfg.embedding_dim,
+            n_gcn=cfg.n_gcn, n_hidden_gcn=cfg.n_hidden, dropout=cfg.dropout,
+        )
+    if cfg.model == "jk":
+        return JumpingKnowledgeNetwork(
+            in_dim, out_dim, n_gcn=cfg.n_gcn, n_hidden_gcn=cfg.n_hidden, dropout=cfg.dropout
+        )
+    if cfg.model == "mlp":
+        return MLP(in_dim, out_dim, cfg.mlp_hidden, dropout=cfg.dropout)
+    raise ValueError(f"unknown model {cfg.model!r}")

@@ -86,9 +86,12 @@ def _build_tile_plan(src, dst, w, n_nodes: int) -> TilePlan:
     # tiles per block
     n_blocks = n_rows_padded // ROW_BLOCK
     counts = np.bincount(block, minlength=n_blocks)
-    tiles_per_block = -(-counts // EDGE_TILE)  # ceil; 0 for empty blocks
+    # every block needs >= 1 tile: an unvisited output block would keep
+    # whatever garbage its buffer held (NaNs included) — a zero-weight dummy
+    # tile zero-initializes it
+    tiles_per_block = np.maximum(-(-counts // EDGE_TILE), 1)
     tile_base = np.concatenate([[0], np.cumsum(tiles_per_block)])
-    n_tiles = max(int(tile_base[-1]), 1)
+    n_tiles = int(tile_base[-1])
 
     # position of each edge within its block
     block_start_edge = np.concatenate([[0], np.cumsum(counts)])
@@ -103,10 +106,9 @@ def _build_tile_plan(src, dst, w, n_nodes: int) -> TilePlan:
     w_t[tile_of_edge, slot_of_edge] = w
     rel_t[tile_of_edge, slot_of_edge] = dst % ROW_BLOCK
 
-    block_of_tile = np.zeros(n_tiles, np.int32)
-    nz = np.flatnonzero(tiles_per_block)
-    for b in nz:
-        block_of_tile[tile_base[b] : tile_base[b + 1]] = b
+    block_of_tile = np.repeat(
+        np.arange(n_blocks, dtype=np.int32), tiles_per_block
+    )
 
     return TilePlan(
         src=jnp.asarray(src_t),
