@@ -1,0 +1,118 @@
+"""Grid-search hyperparameter optimization with k-fold CV.
+
+Counterpart of the reference's old/h_o_train.py: grid over
+lr x dropout x max_df x {GCN, EGCN}, 3-fold KFold over document nodes with
+the graph's train/test masks rewritten per fold (old/h_o_train.py:59,81-87),
+one graph build per max_df, failures recorded as NaN
+(old/h_o_train.py:129-131). Results CSV schema matches the committed
+old/*.csv files: LR, DO, max_df, model, mean f1, std f1.
+
+    python experiments/hyperopt.py --epochs 100
+    python experiments/hyperopt.py --dataset amazon --labels Cat2
+"""
+
+import argparse
+import dataclasses
+import itertools
+import sys
+import time
+
+import numpy as np
+
+from common import load_corpus
+from pytextgcn_tpu import Text2Graph
+from pytextgcn_tpu.config import ExperimentConfig
+from pytextgcn_tpu.models import EGCN, GCN
+from pytextgcn_tpu.train import Trainer
+
+
+def kfold_indices(n: int, k: int, rng: np.random.Generator):
+    """sklearn KFold(shuffle=True) semantics: shuffled indices split into k
+    contiguous chunks; each chunk is one fold's test set."""
+    perm = rng.permutation(n)
+    sizes = np.full(k, n // k)
+    sizes[: n % k] += 1
+    out, start = [], 0
+    for s in sizes:
+        test = perm[start : start + s]
+        train = np.concatenate([perm[:start], perm[start + s :]])
+        out.append((train, test))
+        start += s
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--labels", default="Cat2")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--k-split", type=int, default=3)
+    p.add_argument("--n-hidden", type=int, default=100)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--lrs", type=float, nargs="+", default=[0.001, 0.005, 0.01, 0.05])
+    p.add_argument("--dropouts", type=float, nargs="+", default=[0.5, 0.7])
+    p.add_argument("--max-dfs", type=float, nargs="+", default=[0.5, 0.6, 0.7])
+    p.add_argument("--models", nargs="+", default=["GCN", "EGCN"])
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    cfg = ExperimentConfig(dataset=args.dataset, labels=args.labels, data_dir=args.data_dir)
+    cfg.train.seed = args.seed
+    docs, labels, test_idx, _ = load_corpus(cfg)
+    y = labels[0]
+    n_classes = int(np.max(y)) + 1
+    rng = np.random.default_rng(args.seed)
+
+    out_name = args.out or f"HypOpt_{args.labels}_{time.strftime('%d_%b_%y_%H_%M_%S')}.csv"
+    rows = []
+    for mdf in args.max_dfs:
+        t2g = Text2Graph(min_df=5 if args.dataset != "synthetic" else 1, max_df=mdf)
+        g = t2g.fit_transform(docs, y, test_idx=test_idx)
+        print(f"Graph built (max_df={mdf}, {g.n_vocab} vocab)!")
+        doc_nodes = np.flatnonzero(
+            np.asarray(g.train_mask) | np.asarray(g.test_mask)
+        )
+        folds = kfold_indices(len(doc_nodes), args.k_split, rng)
+
+        for dropout, lr, model_name in itertools.product(
+            args.dropouts, args.lrs, args.models
+        ):
+            try:
+                scores = []
+                for tr, te in folds:
+                    train_mask = np.zeros(g.n_nodes, bool)
+                    train_mask[doc_nodes[tr]] = True
+                    val_mask = np.zeros(g.n_nodes, bool)
+                    val_mask[doc_nodes[te]] = True
+                    g_fold = dataclasses.replace(
+                        g, train_mask=train_mask, val_mask=val_mask,
+                        test_mask=np.zeros(g.n_nodes, bool),
+                    )
+                    cls = GCN if model_name == "GCN" else EGCN
+                    model = cls(g.in_dim, n_classes, n_hidden_gcn=args.n_hidden, dropout=dropout)
+                    trainer = Trainer(model, lr=lr, seed=args.seed)
+                    trainer.fit(g_fold, epochs=args.epochs, n_classes=n_classes, verbose=0)
+                    m = trainer.evaluate(g_fold, mask=val_mask, n_classes=n_classes)
+                    scores.append(m["f1_macro"])
+                mean_f1, std_f1 = float(np.mean(scores)), float(np.std(scores))
+            except Exception as e:  # record failures as NaN like the reference
+                print(f"config failed ({type(e).__name__}: {e}); recording NaN")
+                mean_f1, std_f1 = float("nan"), float("nan")
+            rows.append(
+                {"LR": lr, "DO": dropout, "max_df": mdf, "model": model_name,
+                 "mean f1": mean_f1, "std f1": std_f1}
+            )
+            print(rows[-1])
+            import csv
+
+            with open(out_name, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(rows[0]))
+                w.writeheader()
+                w.writerows(rows)
+    print(f"results -> {out_name}")
+    return rows
+
+
+if __name__ == "__main__":
+    main()
