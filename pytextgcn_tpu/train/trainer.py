@@ -32,15 +32,20 @@ class Trainer:
         seed: int = 0,
         optimizer: Optional[optax.GradientTransformation] = None,
         use_pallas: bool = False,
+        mesh=None,
     ):
+        """``mesh``: a `jax.sharding.Mesh` with a 'graph' axis — training
+        then runs with the aggregation edge-partitioned across the mesh
+        (parallel/sharded.py); everything else is unchanged."""
         self.model = model
         self.lr = lr
         self.seed = seed
         self.optimizer = optimizer if optimizer is not None else optax.amsgrad(lr)
         self.use_pallas = use_pallas
+        self.mesh = mesh
         self.params = None
         self.opt_state = None
-        self._adj: Optional[NormAdj] = None
+        self._adj = None
         self._feats: Optional[NodeFeatures] = None
 
     # ------------------------------------------------------------ internals
@@ -73,7 +78,12 @@ class Trainer:
 
     def prepare(self, g: TextGraph):
         """Finalize the graph into the operator + feature structures."""
-        self._adj = NormAdj.from_graph(g, use_pallas=self.use_pallas)
+        if self.mesh is not None:
+            from ..parallel.sharded import build_sharded_adj
+
+            self._adj = build_sharded_adj(g, self.mesh)
+        else:
+            self._adj = NormAdj.from_graph(g, use_pallas=self.use_pallas)
         self._feats = NodeFeatures.from_graph(g)
         return self._adj, self._feats
 

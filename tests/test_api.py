@@ -1,0 +1,98 @@
+"""API surface tests: config CLI, Text2Graph artifacts, Trainer over a mesh,
+profiling utilities, results writer."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pytextgcn_tpu import Text2Graph
+from pytextgcn_tpu.config import ExperimentConfig, make_model, parse_config
+from pytextgcn_tpu.data import synthetic_corpus
+from pytextgcn_tpu.models import GCN
+from pytextgcn_tpu.train import Trainer
+from pytextgcn_tpu.train.profiling import StageTimer, spmm_roofline
+from pytextgcn_tpu.train.results import append_result
+
+
+def test_config_cli_roundtrip():
+    cfg = parse_config(
+        [
+            "--dataset", "amazon", "--labels", "Cat1",
+            "--graph-max-df", "0.6", "--graph-window-size", "10",
+            "--graph-max-length", "15",
+            "--model-model", "egcn", "--model-n-hidden", "64",
+            "--train-lr", "0.01", "--train-seed", "7",
+        ]
+    )
+    assert cfg.dataset == "amazon" and cfg.labels == "Cat1"
+    assert cfg.graph.max_df == 0.6 and cfg.graph.window_size == 10
+    assert cfg.graph.max_length == 15
+    assert cfg.model.model == "egcn" and cfg.model.n_hidden == 64
+    assert cfg.train.lr == 0.01 and cfg.train.seed == 7
+    m = make_model(cfg.model, in_dim=100, out_dim=5)
+    assert m.__class__.__name__ == "EGCN"
+
+
+def test_text2graph_save_load_and_vocabulary(tmp_path):
+    docs, labels = synthetic_corpus(n_docs=40, n_classes=2, seed=7)
+    t2g = Text2Graph(min_df=1, window_size=4, save_path=str(tmp_path))
+    g = t2g.fit_transform(docs, labels, test_idx=[0, 1])
+    assert len(t2g.vocabulary) == g.n_vocab
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".npz")]
+    assert len(files) == 1
+    g2 = Text2Graph.load_graph(os.path.join(tmp_path, files[0]))
+    np.testing.assert_array_equal(np.asarray(g2.edge_src), np.asarray(g.edge_src))
+    with pytest.raises(FileNotFoundError):
+        Text2Graph.load_graph(str(tmp_path / "missing.npz"))
+
+
+def test_text2graph_directory_input(tmp_path):
+    docs, labels = synthetic_corpus(n_docs=6, n_classes=2, seed=9)
+    for i, d in enumerate(docs):
+        (tmp_path / f"doc{i}.txt").write_text(d)
+    t2g = Text2Graph(min_df=1, window_size=4)
+    g = t2g.fit_transform(str(tmp_path), labels, test_idx=[0])
+    assert g.n_docs == 6
+
+
+def test_trainer_over_mesh():
+    import jax
+
+    from pytextgcn_tpu.parallel import make_mesh
+
+    docs, labels = synthetic_corpus(n_docs=80, n_classes=3, seed=2)
+    t2g = Text2Graph(min_df=1, window_size=4)
+    g = t2g.fit_transform(docs, labels, test_idx=np.arange(60, 80))
+    mesh = make_mesh(min(4, len(jax.devices())))
+    model = GCN(g.in_dim, 3, n_hidden_gcn=16, dropout=0.2)
+    trainer = Trainer(model, lr=0.05, mesh=mesh)
+    hist = trainer.fit(g, epochs=40, n_classes=3)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    m = trainer.evaluate(g, n_classes=3)
+    assert m["accuracy"] >= 0.6, m
+
+
+def test_stage_timer_and_roofline(tmp_path):
+    t = StageTimer(path=str(tmp_path / "stages.jsonl"))
+    with t.stage("build", n_docs=10):
+        pass
+    with t.stage("train"):
+        pass
+    s = t.summary()
+    assert set(s) == {"build", "train"}
+    assert os.path.exists(tmp_path / "stages.jsonl")
+
+    r = spmm_roofline(n_edges=1_000_000, n_nodes=50_000, feat_dim=128, seconds=0.001)
+    assert r["edges_per_s"] == 1e9
+    assert 0 < r["fraction_of_roofline"]
+
+
+def test_results_writer(tmp_path):
+    f = str(tmp_path / "results.csv")
+    append_result(f, seed=42, model="GCN", hierarchy="flat", f1_macro=0.5, accuracy=0.6)
+    append_result(f, seed=43, model="GCN", hierarchy="flat", f1_macro=0.55, accuracy=0.61)
+    lines = open(f).read().strip().splitlines()
+    assert lines[0] == "seed,model,hierarchy,f1-macro,accuracy"
+    assert len(lines) == 3
+    assert os.path.exists(f + ".jsonl")
