@@ -18,7 +18,10 @@ from typing import Optional, Tuple
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "native", "graphbuilder.cpp")
+_SRCS = [
+    os.path.join(_HERE, "native", "graphbuilder.cpp"),
+    os.path.join(_HERE, "native", "vectorizer.cpp"),
+]
 _SO = os.path.join(_HERE, "native", "libtgnative.so")
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
@@ -33,7 +36,7 @@ def _build() -> None:
         "-fPIC",
         "-shared",
         "-pthread",
-        _SRC,
+        *_SRCS,
         "-o",
         _SO,
     ]
@@ -46,7 +49,10 @@ def load_native() -> ctypes.CDLL:
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        stale = not os.path.exists(_SO) or any(
+            os.path.getmtime(_SO) < os.path.getmtime(s) for s in _SRCS
+        )
+        if stale:
             _build()
         lib = ctypes.CDLL(_SO)
 
@@ -75,8 +81,118 @@ def load_native() -> ctypes.CDLL:
         ]
         lib.tg_free.restype = None
         lib.tg_free.argtypes = [ctypes.c_void_p]
+
+        lib.tg_fit_counts.restype = ctypes.c_int64
+        lib.tg_fit_counts.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.tg_encode.restype = ctypes.c_int64
+        lib.tg_encode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ]
         _LIB = lib
         return lib
+
+
+def _pack_docs(docs):
+    """Concatenate documents into one UTF-8 buffer + int64 offsets."""
+    encoded = [d.encode("utf-8") for d in docs]
+    offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in encoded], out=offsets[1:])
+    return b"".join(encoded), offsets
+
+
+def native_fit_counts(docs, stop_words, min_doc_count: int, max_doc_count: int):
+    """C++ vocabulary fit + CSR counts for ASCII corpora.
+    Returns (vocabulary dict, scipy CSR int64)."""
+    from scipy import sparse as sp
+
+    lib = load_native()
+    text, offsets = _pack_docs(docs)
+    stop = "\n".join(sorted(stop_words)) if stop_words else ""
+    vocab_p = ctypes.c_char_p()
+    vocab_len = ctypes.c_int64()
+    indptr_p = ctypes.POINTER(ctypes.c_int64)()
+    indices_p = ctypes.POINTER(ctypes.c_int32)()
+    data_p = ctypes.POINTER(ctypes.c_int64)()
+    nnz = ctypes.c_int64()
+    n_terms = lib.tg_fit_counts(
+        text,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(docs),
+        stop.encode(),
+        min_doc_count,
+        max_doc_count,
+        ctypes.byref(vocab_p),
+        ctypes.byref(vocab_len),
+        ctypes.byref(indptr_p),
+        ctypes.byref(indices_p),
+        ctypes.byref(data_p),
+        ctypes.byref(nnz),
+    )
+    if n_terms == -2:
+        raise ValueError("empty vocabulary after df pruning")
+    if n_terms < 0:
+        raise MemoryError("native vectorizer failed")
+    try:
+        vocab_str = ctypes.string_at(vocab_p, vocab_len.value).decode("utf-8")
+        indptr = np.ctypeslib.as_array(indptr_p, shape=(len(docs) + 1,)).copy()
+        e = nnz.value
+        indices = (
+            np.ctypeslib.as_array(indices_p, shape=(e,)).copy() if e else np.zeros(0, np.int32)
+        )
+        data = np.ctypeslib.as_array(data_p, shape=(e,)).copy() if e else np.zeros(0, np.int64)
+    finally:
+        lib.tg_free(vocab_p)
+        lib.tg_free(indptr_p)
+        lib.tg_free(indices_p)
+        lib.tg_free(data_p)
+    terms = vocab_str.split("\n")[:-1]
+    assert len(terms) == n_terms
+    vocabulary = {t: i for i, t in enumerate(terms)}
+    counts = sp.csr_matrix((data, indices, indptr), shape=(len(docs), n_terms))
+    return vocabulary, counts
+
+
+def native_encode(docs, vocabulary_sorted_terms, max_length=None):
+    """C++ token-id encoding (reference _encode_input semantics)."""
+    lib = load_native()
+    text, offsets = _pack_docs(docs)
+    vocab = ("\n".join(vocabulary_sorted_terms) + "\n").encode("utf-8")
+    tokens_p = ctypes.POINTER(ctypes.c_int32)()
+    max_len = lib.tg_encode(
+        text,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(docs),
+        vocab,
+        max_length or 0,
+        ctypes.byref(tokens_p),
+    )
+    if max_len < 0:
+        raise MemoryError("native encoder failed")
+    try:
+        if max_len == 0:
+            return np.zeros((len(docs), 0), np.int32)
+        out = np.ctypeslib.as_array(tokens_p, shape=(len(docs), max_len)).copy()
+    finally:
+        lib.tg_free(tokens_p)
+    return out
 
 
 def native_sliding_window_counts(

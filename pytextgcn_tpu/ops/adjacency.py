@@ -44,7 +44,9 @@ class NormAdj:
     plan: Optional[object] = None
 
     @staticmethod
-    def from_graph(g: TextGraph, use_pallas: bool = False) -> "NormAdj":
+    def from_graph(
+        g: TextGraph, use_pallas: bool = False, pallas_dtype: str = "float32"
+    ) -> "NormAdj":
         # normalization on host (numpy): one-time preprocessing; keeps all
         # device work inside jitted hot paths
         src = np.asarray(g.edge_src)
@@ -54,7 +56,9 @@ class NormAdj:
         if use_pallas:
             from .spmm_pallas import build_plan_from_arrays
 
-            plan = build_plan_from_arrays(src, dst, norm_w, self_w, g.n_nodes)
+            plan = build_plan_from_arrays(
+                src, dst, norm_w, self_w, g.n_nodes, compute_dtype=pallas_dtype
+            )
         return NormAdj(
             src=jnp.asarray(src),
             dst=jnp.asarray(dst),

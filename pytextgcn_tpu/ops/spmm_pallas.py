@@ -62,7 +62,7 @@ class TilePlan:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["fwd", "bwd", "self_w"],
-    meta_fields=["n_nodes"],
+    meta_fields=["n_nodes", "compute_dtype"],
 )
 @dataclasses.dataclass
 class SpmmPlan:
@@ -70,6 +70,7 @@ class SpmmPlan:
     bwd: TilePlan
     self_w: jax.Array  # kept for completeness; applied by ops.spmm
     n_nodes: int
+    compute_dtype: str = "float32"  # 'float32' (parity) | 'bfloat16' (fast)
 
 
 def _build_tile_plan(src, dst, w, n_nodes: int) -> TilePlan:
@@ -120,7 +121,9 @@ def _build_tile_plan(src, dst, w, n_nodes: int) -> TilePlan:
     )
 
 
-def build_plan_from_arrays(src, dst, w, self_w, n_nodes: int) -> SpmmPlan:
+def build_plan_from_arrays(
+    src, dst, w, self_w, n_nodes: int, compute_dtype: str = "float32"
+) -> SpmmPlan:
     """Build forward + transpose tile plans from host numpy edge arrays."""
     src = np.asarray(src)
     dst = np.asarray(dst)
@@ -130,6 +133,7 @@ def build_plan_from_arrays(src, dst, w, self_w, n_nodes: int) -> SpmmPlan:
         bwd=_build_tile_plan(dst, src, w, n_nodes),
         self_w=jnp.asarray(self_w),
         n_nodes=n_nodes,
+        compute_dtype=compute_dtype,
     )
 
 
@@ -143,7 +147,7 @@ def build_plan(adj) -> SpmmPlan:
 # ------------------------------------------------------------------ kernel
 
 
-def _spmm_kernel(block_ref, xg_ref, w_ref, rel_ref, out_ref):
+def _spmm_kernel(block_ref, xg_ref, w_ref, rel_ref, out_ref, *, compute_dtype):
     i = pl.program_id(0)
     prev = block_ref[jnp.maximum(i - 1, 0)]
     first = jnp.logical_or(i == 0, block_ref[i] != prev)
@@ -163,6 +167,7 @@ def _spmm_kernel(block_ref, xg_ref, w_ref, rel_ref, out_ref):
         w_s = w_ref[s, :][None, :]  # (1, LANE) f32
         slices.append(jnp.where(rows == rel_s, w_s, 0.0))
     m = jnp.concatenate(slices, axis=1)  # (ROW_BLOCK, EDGE_TILE)
+    m = m.astype(compute_dtype)  # bf16 mode: MXU runs bf16 x bf16 -> f32
     out_ref[:] += jnp.dot(m, xg_ref[0], preferred_element_type=jnp.float32)
 
 
@@ -174,12 +179,19 @@ def _edge_vec_spec():
     )
 
 
-def _run_tiles(plan: TilePlan, x: jax.Array) -> jax.Array:
-    """Apply the tiled aggregation: returns [n_rows_padded, H_pad]."""
+def _run_tiles(plan: TilePlan, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
+    """Apply the tiled aggregation: returns [n, h] float32.
+
+    ``compute_dtype=bfloat16`` halves the dominant HBM traffic (the gathered
+    source rows) and runs the MXU in its native bf16 mode with float32
+    accumulation; weights/one-hots are cast in-kernel.
+    """
     n, h = x.shape
     h_pad = max(LANE, -(-h // LANE) * LANE)
     n_pad = max(plan.n_rows_padded, -(-n // ROW_BLOCK) * ROW_BLOCK)
-    x_pad = jnp.zeros((n_pad, h_pad), x.dtype).at[:n, :h].set(x)
+    x_pad = jnp.zeros((n_pad, h_pad), compute_dtype).at[:n, :h].set(
+        x.astype(compute_dtype)
+    )
 
     t = plan.n_tiles
     xg = jnp.take(x_pad, plan.src.reshape(-1), axis=0).reshape(t, EDGE_TILE, h_pad)
@@ -198,14 +210,16 @@ def _run_tiles(plan: TilePlan, x: jax.Array) -> jax.Array:
             (ROW_BLOCK, h_pad), lambda i, blk: (blk[i], 0), memory_space=pltpu.VMEM
         ),
     )
+    itemsize = jnp.dtype(compute_dtype).itemsize
     out = pl.pallas_call(
-        _spmm_kernel,
+        partial(_spmm_kernel, compute_dtype=compute_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.n_rows_padded, h_pad), jnp.float32),
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * t * EDGE_TILE * ROW_BLOCK * h_pad,
-            bytes_accessed=t * EDGE_TILE * (h_pad * 4 + 8) + plan.n_rows_padded * h_pad * 4,
+            bytes_accessed=t * EDGE_TILE * (h_pad * itemsize + 8)
+            + plan.n_rows_padded * h_pad * 4,
             transcendentals=0,
         ),
     )(
@@ -226,18 +240,18 @@ def _zero_cotangent(tree):
     )
 
 
-@jax.custom_vjp
-def _spmm_pallas(x, fwd_plan, bwd_plan):
-    return _run_tiles(fwd_plan, x)
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _spmm_pallas(x, fwd_plan, bwd_plan, compute_dtype):
+    return _run_tiles(fwd_plan, x, compute_dtype)
 
 
-def _spmm_fwd(x, fwd_plan, bwd_plan):
-    return _run_tiles(fwd_plan, x), (fwd_plan, bwd_plan)
+def _spmm_fwd(x, fwd_plan, bwd_plan, compute_dtype):
+    return _run_tiles(fwd_plan, x, compute_dtype), (fwd_plan, bwd_plan)
 
 
-def _spmm_bwd(res, g):
+def _spmm_bwd(compute_dtype, res, g):
     fwd_plan, bwd_plan = res
-    dx = _run_tiles(bwd_plan, g)
+    dx = _run_tiles(bwd_plan, g, compute_dtype)
     return (dx, _zero_cotangent(fwd_plan), _zero_cotangent(bwd_plan))
 
 
@@ -247,4 +261,4 @@ _spmm_pallas.defvjp(_spmm_fwd, _spmm_bwd)
 def spmm_pallas(plan: SpmmPlan, x: jax.Array) -> jax.Array:
     """``(A_hat - diag(self_w)) @ x`` via the Pallas tile kernel.
     The self-loop diagonal is applied by the caller (ops/spmm.py)."""
-    return _spmm_pallas(x, plan.fwd, plan.bwd)
+    return _spmm_pallas(x, plan.fwd, plan.bwd, jnp.dtype(plan.compute_dtype).type)
