@@ -30,3 +30,16 @@ from .core.graph import TextGraph
 from .build.text2graph import Text2Graph
 
 __all__ = ["TextGraph", "Text2Graph", "__version__"]
+
+
+def __getattr__(name):
+    # lazy conveniences that pull in jax-heavy modules only on use
+    if name == "Trainer":
+        from .train.trainer import Trainer
+
+        return Trainer
+    if name == "models":
+        from . import models
+
+        return models
+    raise AttributeError(name)
