@@ -51,20 +51,22 @@ def synthetic_corpus(
     """
     rng = np.random.default_rng(seed)
     class_words = [
-        _make_words(vocab_per_class, np.random.default_rng(seed + 1 + c))
+        np.array(_make_words(vocab_per_class, np.random.default_rng(seed + 1 + c)))
         for c in range(n_classes)
     ]
-    background = _make_words(shared_vocab, np.random.default_rng(seed + 999))
+    background = np.array(_make_words(shared_vocab, np.random.default_rng(seed + 999)))
 
     docs, labels = [], []
     for i in range(n_docs):
         c = int(rng.integers(n_classes))
         length = int(rng.integers(doc_len[0], doc_len[1] + 1))
-        words = [
-            rng.choice(class_words[c]) if rng.random() < signal else rng.choice(background)
-            for _ in range(length)
-        ]
-        docs.append(" ".join(words))
+        sig = rng.random(length) < signal
+        words = np.where(
+            sig,
+            class_words[c][rng.integers(0, len(class_words[c]), length)],
+            background[rng.integers(0, len(background), length)],
+        )
+        docs.append(" ".join(words.tolist()))
         labels.append(c)
 
     if n_parents is None:

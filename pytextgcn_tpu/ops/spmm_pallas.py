@@ -44,19 +44,30 @@ def _use_interpret() -> bool:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["src", "w", "rel", "block_idx"],
-    meta_fields=["n_rows_padded", "n_tiles"],
+    data_fields=["src", "w", "rel", "block_idx", "visited"],
+    meta_fields=["n_rows_padded", "n_tiles", "n_chunks", "tiles_per_chunk"],
 )
 @dataclasses.dataclass
 class TilePlan:
-    """Destination-sorted, block-aligned edge tiling (one direction)."""
+    """Destination-sorted, block-aligned edge tiling (one direction).
 
-    src: jax.Array  # int32 [T, EDGE_TILE] source node per slot (0 for pads)
-    w: jax.Array  # float32 [T, EDGE_TILE] weight (0 for pads)
-    rel: jax.Array  # int32 [T, EDGE_TILE] dst - block_start (0 for pads)
-    block_idx: jax.Array  # int32 [T] output block per tile (nondecreasing)
+    Tiles are grouped into ``n_chunks`` equal chunks executed sequentially
+    (lax.scan) so the gathered-source working set stays bounded — a single
+    monolithic gather would materialize 4*E*H bytes, which exceeds HBM for
+    graphs beyond a few million edges. ``visited[k, b]`` marks which output
+    blocks chunk k touches (its kernel output is garbage elsewhere and gets
+    masked before accumulation).
+    """
+
+    src: jax.Array  # int32 [K, C, EDGE_TILE] source node per slot (0 on pads)
+    w: jax.Array  # float32 [K, C, EDGE_TILE] weight (0 on pads)
+    rel: jax.Array  # int32 [K, C, EDGE_TILE] dst - block_start (0 on pads)
+    block_idx: jax.Array  # int32 [K, C] output block per tile (nondecreasing)
+    visited: jax.Array  # bool [K, n_blocks] blocks touched by each chunk
     n_rows_padded: int
     n_tiles: int
+    n_chunks: int
+    tiles_per_chunk: int
 
 
 @partial(
@@ -73,9 +84,13 @@ class SpmmPlan:
     compute_dtype: str = "float32"  # 'float32' (parity) | 'bfloat16' (fast)
 
 
-def _build_tile_plan(src, dst, w, n_nodes: int) -> TilePlan:
+def _build_tile_plan(
+    src, dst, w, n_nodes: int, max_chunk_tiles: int = 2048
+) -> TilePlan:
     """Host-side tiling: sort by dst, cut tiles at block boundaries and at
-    EDGE_TILE occupancy, pad tiles with zero-weight edges."""
+    EDGE_TILE occupancy, pad tiles with zero-weight edges, group into
+    fixed-size chunks (``max_chunk_tiles`` tiles ≈ 1 GB of gathered rows at
+    H=128 f32)."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     w = np.asarray(w, np.float32)
@@ -111,13 +126,33 @@ def _build_tile_plan(src, dst, w, n_nodes: int) -> TilePlan:
         np.arange(n_blocks, dtype=np.int32), tiles_per_block
     )
 
+    # chunking: pad the tile count to K * C; padding tiles carry w=0 and the
+    # last real tile's block (their kernel contribution is exactly zero)
+    c = min(n_tiles, max_chunk_tiles)
+    k = -(-n_tiles // c)
+    t_pad = k * c
+    if t_pad > n_tiles:
+        pad = t_pad - n_tiles
+        src_t = np.concatenate([src_t, np.zeros((pad, EDGE_TILE), np.int32)])
+        w_t = np.concatenate([w_t, np.zeros((pad, EDGE_TILE), np.float32)])
+        rel_t = np.concatenate([rel_t, np.zeros((pad, EDGE_TILE), np.int32)])
+        block_of_tile = np.concatenate(
+            [block_of_tile, np.full(pad, block_of_tile[-1], np.int32)]
+        )
+    visited = np.zeros((k, n_blocks), bool)
+    chunk_of_tile = np.arange(t_pad) // c
+    visited[chunk_of_tile, block_of_tile] = True
+
     return TilePlan(
-        src=jnp.asarray(src_t),
-        w=jnp.asarray(w_t),
-        rel=jnp.asarray(rel_t),
-        block_idx=jnp.asarray(block_of_tile),
+        src=jnp.asarray(src_t.reshape(k, c, EDGE_TILE)),
+        w=jnp.asarray(w_t.reshape(k, c, EDGE_TILE)),
+        rel=jnp.asarray(rel_t.reshape(k, c, EDGE_TILE)),
+        block_idx=jnp.asarray(block_of_tile.reshape(k, c)),
+        visited=jnp.asarray(visited),
         n_rows_padded=n_rows_padded,
         n_tiles=n_tiles,
+        n_chunks=k,
+        tiles_per_chunk=c,
     )
 
 
@@ -179,26 +214,13 @@ def _edge_vec_spec():
     )
 
 
-def _run_tiles(plan: TilePlan, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
-    """Apply the tiled aggregation: returns [n, h] float32.
-
-    ``compute_dtype=bfloat16`` halves the dominant HBM traffic (the gathered
-    source rows) and runs the MXU in its native bf16 mode with float32
-    accumulation; weights/one-hots are cast in-kernel.
-    """
-    n, h = x.shape
-    h_pad = max(LANE, -(-h // LANE) * LANE)
-    n_pad = max(plan.n_rows_padded, -(-n // ROW_BLOCK) * ROW_BLOCK)
-    x_pad = jnp.zeros((n_pad, h_pad), compute_dtype).at[:n, :h].set(
-        x.astype(compute_dtype)
-    )
-
-    t = plan.n_tiles
-    xg = jnp.take(x_pad, plan.src.reshape(-1), axis=0).reshape(t, EDGE_TILE, h_pad)
-
+def _chunk_call(x_pad, src_c, w_c, rel_c, blk_c, n_rows_padded, h_pad, compute_dtype):
+    """One pallas_call over one chunk of tiles."""
+    c = src_c.shape[0]
+    xg = jnp.take(x_pad, src_c.reshape(-1), axis=0).reshape(c, EDGE_TILE, h_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t,),
+        grid=(c,),
         in_specs=[
             pl.BlockSpec(
                 (1, EDGE_TILE, h_pad), lambda i, blk: (i, 0, 0), memory_space=pltpu.VMEM
@@ -211,22 +233,65 @@ def _run_tiles(plan: TilePlan, x: jax.Array, compute_dtype=jnp.float32) -> jax.A
         ),
     )
     itemsize = jnp.dtype(compute_dtype).itemsize
-    out = pl.pallas_call(
+    return pl.pallas_call(
         partial(_spmm_kernel, compute_dtype=compute_dtype),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.n_rows_padded, h_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows_padded, h_pad), jnp.float32),
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * t * EDGE_TILE * ROW_BLOCK * h_pad,
-            bytes_accessed=t * EDGE_TILE * (h_pad * itemsize + 8)
-            + plan.n_rows_padded * h_pad * 4,
+            flops=2 * c * EDGE_TILE * ROW_BLOCK * h_pad,
+            bytes_accessed=c * EDGE_TILE * (h_pad * itemsize + 8)
+            + n_rows_padded * h_pad * 4,
             transcendentals=0,
         ),
     )(
-        plan.block_idx,
+        blk_c,
         xg,
-        plan.w.reshape(-1, LANE),
-        plan.rel.reshape(-1, LANE),
+        w_c.reshape(-1, LANE),
+        rel_c.reshape(-1, LANE),
+    )
+
+
+def _run_tiles(plan: TilePlan, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
+    """Apply the tiled aggregation: returns [n, h] float32.
+
+    ``compute_dtype=bfloat16`` halves the gathered-row HBM traffic and runs
+    the MXU in native bf16 with float32 accumulation. Multi-chunk plans run
+    under ``lax.scan`` so only one chunk's gather (~1 GB) is live at a time.
+    """
+    n, h = x.shape
+    h_pad = max(LANE, -(-h // LANE) * LANE)
+    n_pad = max(plan.n_rows_padded, -(-n // ROW_BLOCK) * ROW_BLOCK)
+    x_pad = jnp.zeros((n_pad, h_pad), compute_dtype).at[:n, :h].set(
+        x.astype(compute_dtype)
+    )
+
+    if plan.n_chunks == 1:
+        out = _chunk_call(
+            x_pad,
+            plan.src[0],
+            plan.w[0],
+            plan.rel[0],
+            plan.block_idx[0],
+            plan.n_rows_padded,
+            h_pad,
+            compute_dtype,
+        )
+        return out[:n, :h]
+
+    def body(carry, chunk):
+        src_c, w_c, rel_c, blk_c, vis_c = chunk
+        out_c = _chunk_call(
+            x_pad, src_c, w_c, rel_c, blk_c, plan.n_rows_padded, h_pad, compute_dtype
+        )
+        # blocks this chunk never visited hold garbage — mask, then add
+        # (chunk boundaries can split a block, so partial sums accumulate)
+        mask = jnp.repeat(vis_c, ROW_BLOCK)[:, None]
+        return carry + jnp.where(mask, out_c, 0.0), None
+
+    init = jnp.zeros((plan.n_rows_padded, h_pad), jnp.float32)
+    out, _ = jax.lax.scan(
+        body, init, (plan.src, plan.w, plan.rel, plan.block_idx, plan.visited)
     )
     return out[:n, :h]
 
