@@ -63,6 +63,8 @@ def train_per_label(
     perlabel_amazon.py:105-107 / class_mapping.json).
     """
     trainer_kwargs = dict(trainer_kwargs or {})
+    # ensemble members with the same child-class count share one jitted step
+    trainer_kwargs.setdefault("step_cache", {})
     y_child = np.asarray(y_child, np.int64)
     y_parent = np.asarray(y_parent, np.int64)
     n_parents = int(y_parent.max()) + 1

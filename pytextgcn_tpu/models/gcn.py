@@ -49,6 +49,22 @@ class GCN:
         self.dropout = dropout
         self.activation = activation  # None == reference parity (no act)
 
+    def config_key(self):
+        """Hashable identity of the computation this model traces — used to
+        share jitted train steps across instances (e.g. the per-label
+        ensemble trains many same-shaped classifiers; the remote-compile
+        latency on tunneled TPUs makes re-tracing each one very costly)."""
+        return (
+            type(self).__name__,
+            self.in_dim,
+            self.out_dim,
+            self.n_gcn,
+            self.n_hidden,
+            self.dropout,
+            getattr(self, "embedding_dim", None),
+            self.activation,
+        )
+
     def init(self, key) -> dict:
         dims = [self.in_dim] + [self.n_hidden] * (self.n_gcn - 1) + [self.out_dim]
         keys = jax.random.split(key, self.n_gcn)

@@ -39,6 +39,12 @@ class JumpingKnowledgeNetwork:
         self.dropout = dropout
         self.activation = activation
 
+    def config_key(self):
+        return (
+            type(self).__name__, self.in_dim, self.out_dim,
+            self.n_gcn, self.n_hidden, self.dropout, self.activation,
+        )
+
     def init(self, key) -> dict:
         k_l, k_lstm, k_att, k_head = jax.random.split(key, 4)
         dims = [self.in_dim] + [self.n_hidden] * self.n_gcn

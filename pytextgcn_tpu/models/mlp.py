@@ -73,6 +73,9 @@ class MLP:
         self.hidden = list(hidden)
         self.dropout = dropout
 
+    def config_key(self):
+        return (type(self).__name__, self.in_dim, self.out_dim, tuple(self.hidden), self.dropout)
+
     def init(self, key) -> dict:
         dims = [self.in_dim] + self.hidden + [self.out_dim]
         keys = jax.random.split(key, len(dims) - 1)

@@ -33,16 +33,22 @@ class Trainer:
         optimizer: Optional[optax.GradientTransformation] = None,
         use_pallas: bool = False,
         mesh=None,
+        step_cache: Optional[dict] = None,
     ):
         """``mesh``: a `jax.sharding.Mesh` with a 'graph' axis — training
         then runs with the aggregation edge-partitioned across the mesh
-        (parallel/sharded.py); everything else is unchanged."""
+        (parallel/sharded.py); everything else is unchanged.
+
+        ``step_cache``: share jitted train/eval steps across trainers whose
+        models have the same ``config_key()`` (ensembles/cascades of
+        same-shaped classifiers compile once instead of once per member)."""
         self.model = model
         self.lr = lr
         self.seed = seed
         self.optimizer = optimizer if optimizer is not None else optax.amsgrad(lr)
         self.use_pallas = use_pallas
         self.mesh = mesh
+        self.step_cache = step_cache
         self.params = None
         self.opt_state = None
         self._adj = None
@@ -51,6 +57,14 @@ class Trainer:
     # ------------------------------------------------------------ internals
 
     def _steps(self, n_classes: int):
+        if self.step_cache is not None and hasattr(self.model, "config_key"):
+            key = (self.model.config_key(), n_classes, self.lr)
+            if key not in self.step_cache:
+                self.step_cache[key] = self._build_steps(n_classes)
+            return self.step_cache[key]
+        return self._build_steps(n_classes)
+
+    def _build_steps(self, n_classes: int):
         model, opt = self.model, self.optimizer
 
         @jax.jit
