@@ -98,18 +98,21 @@ def main():
     mask = jnp.asarray(g.train_mask)
     opt = optax.amsgrad(0.05)
 
+    # adj rides as a jit ARGUMENT: closed-over arrays would be embedded as
+    # constants in the compiled program (and in the remote-compile request
+    # body, which has a hard size limit on tunneled backends)
+    @jax.jit
+    def step_fn(adj, params, opt_state, rng):
+        def loss_fn(p):
+            logits = model.apply(p, adj, feats, train=True, rng=rng)
+            return masked_cross_entropy(logits, y, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
     def make_step(adj):
-        @jax.jit
-        def step(params, opt_state, rng):
-            def loss_fn(p):
-                logits = model.apply(p, adj, feats, train=True, rng=rng)
-                return masked_cross_entropy(logits, y, mask)
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state2 = opt.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state2, loss
-
-        return step
+        return lambda params, opt_state, rng: step_fn(adj, params, opt_state, rng)
 
     params = model.init(jax.random.PRNGKey(0))
     opt_state = opt.init(params)

@@ -146,7 +146,16 @@ class Trainer:
             self.params, self.opt_state, loss = train_step(
                 self.params, self.opt_state, sub, adj, feats, y, train_mask
             )
-            rec = {"loss": float(loss)}
+            # Fetching the loss scalar forces a device sync; on remote
+            # (tunneled) TPU backends that round trip costs far more than
+            # the step itself, so only materialize it when the reference
+            # early-stopping rule needs per-epoch losses or at eval points.
+            sync_now = (
+                early_stopping == "reference"
+                or (epoch + 1) % eval_every == 0
+                or epoch == epochs - 1
+            )
+            rec = {"loss": float(loss) if sync_now else loss}
             if (epoch + 1) % eval_every == 0 or epoch == epochs - 1:
                 m = eval_step(self.params, adj, feats, y, train_mask, val_mask)
                 rec.update({k: float(v) for k, v in m.items()})
@@ -178,12 +187,24 @@ class Trainer:
                 break
         if verbose > 0:
             log_fn(f"training took {time.time() - t0:.2f}s for {len(history)} epochs")
+        # materialize any still-on-device loss scalars in one pass
+        history = [
+            {k: float(v) for k, v in rec.items()} for rec in jax.device_get(history)
+        ]
         return history
 
     def predict_logits(self, g: Optional[TextGraph] = None) -> jax.Array:
         """Logits for all nodes (no dropout)."""
         adj, feats = (self._adj, self._feats) if g is None else self.prepare(g)
-        return jax.jit(partial(self.model.apply, train=False))(self.params, adj, feats)
+        if not hasattr(self, "_predict_jit"):
+            if self.step_cache is not None and hasattr(self.model, "config_key"):
+                key = ("predict", self.model.config_key())
+                if key not in self.step_cache:
+                    self.step_cache[key] = jax.jit(partial(self.model.apply, train=False))
+                self._predict_jit = self.step_cache[key]
+            else:
+                self._predict_jit = jax.jit(partial(self.model.apply, train=False))
+        return self._predict_jit(self.params, adj, feats)
 
     def evaluate(self, g: TextGraph, mask=None, n_classes: Optional[int] = None):
         """Test metrics over ``mask`` (default: the graph's test_mask)."""
