@@ -68,7 +68,12 @@ class Trainer:
         model, opt = self.model, self.optimizer
 
         @jax.jit
-        def train_step(params, opt_state, rng, adj, feats, y, mask):
+        def train_step(params, opt_state, base_key, epoch, adj, feats, y, mask):
+            # rng derived in-graph (fold_in): a host-side split per epoch
+            # would be one eager device op per epoch — pure dispatch latency
+            # on remote TPU backends
+            rng = jax.random.fold_in(base_key, epoch)
+
             def loss_fn(p):
                 logits = model.apply(p, adj, feats, train=True, rng=rng)
                 return masked_cross_entropy(logits, y, mask)
@@ -132,19 +137,20 @@ class Trainer:
         val_mask = jnp.asarray(g.val_mask)
 
         key = jax.random.PRNGKey(self.seed)
-        key, init_key = jax.random.split(key)
+        key, init_key, base_key = jax.random.split(key, 3)
         if self.params is None:
             self.params = self.model.init(init_key)
             self.opt_state = self.optimizer.init(self.params)
+        self._fit_calls = getattr(self, "_fit_calls", 0) + 1
+        base_key = jax.random.fold_in(base_key, self._fit_calls)
 
         history: List[Dict[str, float]] = []
         best_f1, best_epoch, best_params = -1.0, -1, None
         width = len(str(epochs))
         t0 = time.time()
         for epoch in range(epochs):
-            key, sub = jax.random.split(key)
             self.params, self.opt_state, loss = train_step(
-                self.params, self.opt_state, sub, adj, feats, y, train_mask
+                self.params, self.opt_state, base_key, epoch, adj, feats, y, train_mask
             )
             # Fetching the loss scalar forces a device sync; on remote
             # (tunneled) TPU backends that round trip costs far more than
