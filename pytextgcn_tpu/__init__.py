@@ -26,6 +26,11 @@ Public entry points:
 
 __version__ = "0.1.0"
 
+from .utils import tune_allocator
+
+tune_allocator()  # see utils.py: first-touch page faults dominate host-side
+# graph/plan builds on lazily-backed VMs unless big buffers stay on the heap
+
 from .core.graph import TextGraph
 from .build.text2graph import Text2Graph
 
