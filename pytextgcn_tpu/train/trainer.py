@@ -96,13 +96,22 @@ class Trainer:
         return train_step, eval_step
 
     def prepare(self, g: TextGraph):
-        """Finalize the graph into the operator + feature structures."""
-        if self.mesh is not None:
-            from ..parallel.sharded import build_sharded_adj
+        """Finalize the graph into the operator + feature structures.
 
-            self._adj = build_sharded_adj(g, self.mesh)
-        else:
-            self._adj = NormAdj.from_graph(g, use_pallas=self.use_pallas)
+        The adjacency operator (normalization + Pallas tiling plans) is
+        cached by edge-array identity: hierarchy pipelines swap labels and
+        features via ``dataclasses.replace`` while the edges stay the same
+        objects, and plan building is expensive host work. Features are
+        rebuilt each call (cheap, and hierarchy_feats genuinely change)."""
+        edge_key = (id(g.edge_src), id(g.edge_w), g.n_nodes)
+        if getattr(self, "_adj_key", None) != edge_key or self._adj is None:
+            if self.mesh is not None:
+                from ..parallel.sharded import build_sharded_adj
+
+                self._adj = build_sharded_adj(g, self.mesh)
+            else:
+                self._adj = NormAdj.from_graph(g, use_pallas=self.use_pallas)
+            self._adj_key = edge_key
         self._feats = NodeFeatures.from_graph(g)
         return self._adj, self._feats
 
