@@ -69,9 +69,10 @@ class Trainer:
 
         @jax.jit
         def train_step(params, opt_state, base_key, epoch, adj, feats, y, mask):
-            # rng derived in-graph (fold_in): a host-side split per epoch
-            # would be one eager device op per epoch — pure dispatch latency
-            # on remote TPU backends
+            # rng derived in-graph (fold_in) from a device-resident epoch
+            # counter that the step itself increments: zero per-epoch host
+            # work — no eager splits, no scalar h2d — so the loop pipelines
+            # at pure dispatch rate on remote TPU backends
             rng = jax.random.fold_in(base_key, epoch)
 
             def loss_fn(p):
@@ -81,7 +82,7 @@ class Trainer:
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return params, opt_state, epoch + 1, loss
 
         @jax.jit
         def eval_step(params, adj, feats, y, train_mask, val_mask):
@@ -157,9 +158,10 @@ class Trainer:
         best_f1, best_epoch, best_params = -1.0, -1, None
         width = len(str(epochs))
         t0 = time.time()
+        epoch_dev = jnp.zeros((), jnp.int32)
         for epoch in range(epochs):
-            self.params, self.opt_state, loss = train_step(
-                self.params, self.opt_state, base_key, epoch, adj, feats, y, train_mask
+            self.params, self.opt_state, epoch_dev, loss = train_step(
+                self.params, self.opt_state, base_key, epoch_dev, adj, feats, y, train_mask
             )
             # Fetching the loss scalar forces a device sync; on remote
             # (tunneled) TPU backends that round trip costs far more than
