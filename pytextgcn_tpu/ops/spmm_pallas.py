@@ -85,12 +85,14 @@ class SpmmPlan:
 
 
 def _build_tile_plan(
-    src, dst, w, n_nodes: int, max_chunk_tiles: int = 2048
+    src, dst, w, n_nodes: int, max_chunk_tiles: int = 4096
 ) -> TilePlan:
     """Host-side tiling: sort by dst, cut tiles at block boundaries and at
     EDGE_TILE occupancy, pad tiles with zero-weight edges, group into
-    fixed-size chunks (``max_chunk_tiles`` tiles ≈ 1 GB of gathered rows at
-    H=128 f32)."""
+    evenly-sized chunks of at most ``max_chunk_tiles`` tiles (~2 GB of
+    gathered rows at H=128 f32). Small graphs stay single-chunk — each scan
+    iteration carries fixed overhead, so splitting is only worth it once the
+    monolithic gather would pressure HBM."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     w = np.asarray(w, np.float32)
@@ -127,9 +129,10 @@ def _build_tile_plan(
     )
 
     # chunking: pad the tile count to K * C; padding tiles carry w=0 and the
-    # last real tile's block (their kernel contribution is exactly zero)
-    c = min(n_tiles, max_chunk_tiles)
-    k = -(-n_tiles // c)
+    # last real tile's block (their kernel contribution is exactly zero).
+    # Split evenly so no chunk is pathologically small.
+    k = -(-n_tiles // max_chunk_tiles)
+    c = -(-n_tiles // k)
     t_pad = k * c
     if t_pad > n_tiles:
         pad = t_pad - n_tiles
