@@ -59,6 +59,16 @@ def main(argv=None):
     metrics = trainer.evaluate(g, n_classes=n_classes)
     print(f"Test Accuracy: {metrics['accuracy']: .4f}")
     print(f"F1-Macro: {metrics['f1_macro']: .4f}")
+    if cfg.train.verbose > 0:
+        import jax.numpy as jnp
+
+        from pytextgcn_tpu.train.metrics import confusion_matrix
+
+        logits = trainer.predict_logits(g)
+        pred = jnp.argmax(logits, axis=-1)
+        cm = confusion_matrix(pred, jnp.asarray(g.y), jnp.asarray(g.test_mask), n_classes)
+        print("Confusion matrix:")
+        print(np.asarray(cm))
 
     if cfg.save_model:
         from pytextgcn_tpu.train.checkpoint import save_checkpoint
