@@ -44,10 +44,16 @@ def main(argv=None):
     )
     print(f"Data loaded! {splits.x_train.shape} train features")
 
+    # MLP defaults differ from the GCN-oriented config defaults (lr 2e-3,
+    # dropout 0.5 — MLP_flat.py:20-21); honor explicit flags by checking
+    # whether the user actually passed them rather than comparing values
+    passed = set(sys.argv[1:]) | set(argv)
+    lr = cfg.train.lr if "--train-lr" in passed else 2e-3
+    dropout = cfg.model.dropout if "--model-dropout" in passed else 0.5
     kwargs = dict(
         hidden=tuple(cfg.model.mlp_hidden),
-        lr=cfg.train.lr if cfg.train.lr != 0.05 else 2e-3,  # MLP default lr
-        dropout=cfg.model.dropout if cfg.model.dropout != 0.7 else 0.5,
+        lr=lr,
+        dropout=dropout,
         epochs=cfg.train.epochs,
         seed=cfg.train.seed,
         verbose=cfg.train.verbose,

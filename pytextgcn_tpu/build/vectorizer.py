@@ -90,12 +90,15 @@ class CountVectorizer:
                 self._native_docs = docs
                 self._tokens = None
                 return counts
-            except (OSError, MemoryError):
-                pass  # toolchain unavailable: python path below
+            except ValueError:
+                raise  # empty vocabulary — a real error on either path
+            except Exception:
+                pass  # toolchain unavailable / compile failure: python path
         # Tokenize once; cache the raw \w+ streams so encode_documents can
         # reuse them (the reference tokenizes twice, text2graph.py:28-34).
         tokens = [tokenize(d) if self.lowercase else _TOKEN_RE.findall(d) for d in docs]
         self._tokens = tokens
+        self._fit_docs = docs  # identity guard for the encode-time cache
 
         # Candidate terms: length >= 2 (sklearn's \b\w\w+\b), not stopwords.
         stop = self.stop_words or frozenset()
@@ -118,11 +121,9 @@ class CountVectorizer:
         raw.sum_duplicates()
 
         # Document-frequency pruning (sklearn: keep min_df <= df <= max_df,
-        # thresholds resolved as absolute counts).
+        # thresholds resolved as absolute counts). After sum_duplicates each
+        # (row, col) appears once, so a bincount of column ids is the df.
         df = np.bincount(raw.indices, minlength=raw.shape[1])
-        # a column may appear several times per row before sum_duplicates;
-        # recompute df from the deduplicated structure:
-        df = np.diff(sp.csc_matrix(raw.astype(bool)).indptr)
         min_doc_count, max_doc_count = self._df_bounds(n_docs)
         keep = (df >= min_doc_count) & (df <= max_doc_count)
 
@@ -180,7 +181,7 @@ class CountVectorizer:
 
             terms = sorted(vocab, key=vocab.get)
             return native_encode(docs, terms, max_length)
-        if self._tokens is not None and len(self._tokens) == len(docs):
+        if self._tokens is not None and docs is getattr(self, "_fit_docs", None):
             streams = self._tokens
         else:
             streams = [tokenize(d) for d in docs]

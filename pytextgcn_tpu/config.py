@@ -60,11 +60,21 @@ class ExperimentConfig:
 
 
 def _add_dataclass_args(parser: argparse.ArgumentParser, dc, prefix: str = ""):
+    def int_or_float(s):
+        try:
+            return int(s)
+        except ValueError:
+            return float(s)
+
     for f in dataclasses.fields(dc):
         default = getattr(dc, f.name)
         if dataclasses.is_dataclass(default):
             continue  # nested config, added with its own prefix
         name = f"--{prefix}{f.name.replace('_', '-')}"
+        if f.name in ("min_df", "max_df"):
+            # Union[int, float]: absolute count or document fraction
+            parser.add_argument(name, type=int_or_float, default=default)
+            continue
         if isinstance(default, bool):
             parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"), default=default)
         elif isinstance(default, int):

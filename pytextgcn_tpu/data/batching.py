@@ -82,6 +82,9 @@ class NeighborhoodBatcher:
         self.shuffle = shuffle
         self.seed = seed
         self.pad_pow2 = pad_pow2
+        # one generator for the batcher's lifetime: each epoch (each
+        # __iter__) draws a fresh permutation, deterministic given the seed
+        self._rng = np.random.default_rng(seed)
 
         mask = np.asarray(g.train_mask if doc_mask is None else doc_mask)
         self.seed_nodes = np.flatnonzero(mask)
@@ -118,7 +121,7 @@ class NeighborhoodBatcher:
     def __iter__(self) -> Iterator[SubgraphBatch]:
         order = self.seed_nodes.copy()
         if self.shuffle:
-            np.random.default_rng(self.seed).shuffle(order)
+            self._rng.shuffle(order)
         for off in range(0, len(order), self.batch_size):
             batch = order[off : off + self.batch_size]
             frontier = batch

@@ -18,6 +18,9 @@ from typing import Optional, Sequence
 import numpy as np
 
 
+_init_done = False
+
+
 def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -28,11 +31,16 @@ def init_distributed(
     With no arguments, JAX auto-detects the topology from the TPU metadata
     server (the standard Cloud TPU pod path). Explicit arguments support
     bring-your-own clusters.
+
+    Must run before any JAX computation — so no jax API that would
+    instantiate the backend (e.g. ``jax.process_count``) may be called
+    first; idempotence is tracked with a module flag instead.
     """
+    global _init_done
+    if _init_done:
+        return
     import jax
 
-    if jax.process_count() > 1:
-        return  # already initialized
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(
@@ -42,9 +50,13 @@ def init_distributed(
         )
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process environment: nothing to initialize
-        pass
+        _init_done = True
+    except (ValueError, RuntimeError) as e:
+        if "already" in str(e).lower():
+            _init_done = True
+            return
+        # single-process environment (no cluster metadata): run standalone
+        _init_done = True
 
 
 def global_mesh(axis: str = "graph"):

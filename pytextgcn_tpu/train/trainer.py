@@ -46,6 +46,10 @@ class Trainer:
         self.lr = lr
         self.seed = seed
         self.optimizer = optimizer if optimizer is not None else optax.amsgrad(lr)
+        # identifies the update rule in the shared step cache: the default
+        # optimizer is cacheable by (name, lr); a custom one only by object
+        # identity (two structurally-equal custom optimizers never share)
+        self._opt_desc = ("amsgrad", lr) if optimizer is None else ("custom", id(optimizer))
         self.use_pallas = use_pallas
         self.mesh = mesh
         self.step_cache = step_cache
@@ -58,7 +62,7 @@ class Trainer:
 
     def _steps(self, n_classes: int):
         if self.step_cache is not None and hasattr(self.model, "config_key"):
-            key = (self.model.config_key(), n_classes, self.lr)
+            key = (self.model.config_key(), n_classes, self._opt_desc)
             if key not in self.step_cache:
                 self.step_cache[key] = self._build_steps(n_classes)
             return self.step_cache[key]
@@ -102,17 +106,26 @@ class Trainer:
         The adjacency operator (normalization + Pallas tiling plans) is
         cached by edge-array identity: hierarchy pipelines swap labels and
         features via ``dataclasses.replace`` while the edges stay the same
-        objects, and plan building is expensive host work. Features are
-        rebuilt each call (cheap, and hierarchy_feats genuinely change)."""
-        edge_key = (id(g.edge_src), id(g.edge_w), g.n_nodes)
-        if getattr(self, "_adj_key", None) != edge_key or self._adj is None:
+        objects, and plan building is expensive host work. The cache holds
+        strong references to the keyed arrays (``is`` comparison), so a
+        recycled object address can never alias a freed graph's edges.
+        Features are rebuilt each call (cheap; hierarchy_feats change)."""
+        cached = (
+            self._adj is not None
+            and getattr(self, "_adj_edge_src", None) is g.edge_src
+            and getattr(self, "_adj_edge_w", None) is g.edge_w
+            and getattr(self, "_adj_n_nodes", None) == g.n_nodes
+        )
+        if not cached:
             if self.mesh is not None:
                 from ..parallel.sharded import build_sharded_adj
 
                 self._adj = build_sharded_adj(g, self.mesh)
             else:
                 self._adj = NormAdj.from_graph(g, use_pallas=self.use_pallas)
-            self._adj_key = edge_key
+            self._adj_edge_src = g.edge_src
+            self._adj_edge_w = g.edge_w
+            self._adj_n_nodes = g.n_nodes
         self._feats = NodeFeatures.from_graph(g)
         return self._adj, self._feats
 
@@ -155,7 +168,7 @@ class Trainer:
         base_key = jax.random.fold_in(base_key, self._fit_calls)
 
         history: List[Dict[str, float]] = []
-        best_f1, best_epoch, best_params = -1.0, -1, None
+        f1_hist: List[float] = []  # val F1 at eval points (for 'val_f1' ES)
         width = len(str(epochs))
         t0 = time.time()
         epoch_dev = jnp.zeros((), jnp.int32)
@@ -183,16 +196,23 @@ class Trainer:
                         f"val_f1: {rec['val_f1']: .3f}"
                     )
                 if early_stopping == "val_f1":
-                    if rec["val_f1"] > best_f1:
-                        best_f1, best_epoch = rec["val_f1"], epoch
-                        best_params = jax.tree.map(lambda a: a, self.params)
-                    elif epoch - best_epoch > patience and epoch >= min_epochs:
-                        if verbose > 0:
-                            log_fn("early stopping activated!")
-                        if best_params is not None:
-                            self.params = best_params
-                        history.append(rec)
-                        break
+                    # the reference MLP rule (MLP_flat.py:95-100): stop when
+                    # each of the last `patience` F1s is <= the F1 from
+                    # patience+1 evals ago (no best-params restore)
+                    f1_hist.append(rec["val_f1"])
+                    if epoch > min_epochs and len(f1_hist) > patience:
+                        dec = sum(
+                            f1_hist[-(i + 1)] <= f1_hist[-(patience + 1)]
+                            for i in range(patience)
+                        )
+                        if dec >= patience:
+                            if verbose > 0:
+                                log_fn(
+                                    f"Early stopping! Validation f1 decreased "
+                                    f"for {dec} epochs!"
+                                )
+                            history.append(rec)
+                            break
             history.append(rec)
             if (
                 early_stopping == "reference"
