@@ -10,6 +10,8 @@ Examples:
     python experiments/perlabel.py --route predicted     # honest routing
 """
 
+import os
+
 import numpy as np
 
 from common import load_corpus
@@ -24,7 +26,12 @@ def main(argv=None):
     import sys
 
     argv = list(sys.argv[1:] if argv is None else argv)
-    levels, route = None, "ground_truth"
+    levels, route, eval_only = None, "ground_truth", False
+    if "--eval-only" in argv:
+        # the reference's eval_perlabel.py workflow: load the saved per-class
+        # checkpoints + class_mapping.json and run composed inference only
+        eval_only = True
+        argv.remove("--eval-only")
     if "--levels" in argv:
         i = argv.index("--levels")
         j = i + 1
@@ -56,18 +63,37 @@ def main(argv=None):
     g = t2g.fit_transform(docs, y_child, test_idx=test_idx, val_idx=val_idx)
     print("Graph built!")
 
-    out = train_per_label(
-        g,
-        y_child,
-        y_parent,
-        model_factory=lambda d_in, d_out: make_model(cfg.model, d_in, d_out),
-        lr=cfg.train.lr,
-        epochs=cfg.train.epochs,
-        seed=cfg.train.seed,
-        verbose=cfg.train.verbose,
-        save_dir=cfg.save_model,
-        trainer_kwargs={"use_pallas": cfg.train.use_pallas},
-    )
+    if eval_only:
+        import json
+
+        assert cfg.save_model, "--eval-only needs --save-model <dir> to load from"
+        from pytextgcn_tpu.train.checkpoint import load_checkpoint, load_meta
+
+        with open(os.path.join(cfg.save_model, "class_mapping.json")) as f:
+            mapping = {int(k): v for k, v in json.load(f).items()}
+        trainers = []
+        for c in sorted(mapping):
+            path = os.path.join(cfg.save_model, f"lvl2-cat{c}")
+            n_out = len(load_meta(path)["classes"])
+            model = make_model(cfg.model, g.in_dim, n_out)
+            trainer = Trainer(model, lr=cfg.train.lr, use_pallas=cfg.train.use_pallas)
+            template = model.init(__import__("jax").random.PRNGKey(0))
+            trainer.params, _ = load_checkpoint(path, template)
+            trainers.append(trainer)
+        out = {"trainers": trainers, "mapping": mapping}
+    else:
+        out = train_per_label(
+            g,
+            y_child,
+            y_parent,
+            model_factory=lambda d_in, d_out: make_model(cfg.model, d_in, d_out),
+            lr=cfg.train.lr,
+            epochs=cfg.train.epochs,
+            seed=cfg.train.seed,
+            verbose=cfg.train.verbose,
+            save_dir=cfg.save_model,
+            trainer_kwargs={"use_pallas": cfg.train.use_pallas},
+        )
 
     parent_pred = None
     if route == "predicted":
