@@ -45,7 +45,7 @@ def _use_interpret() -> bool:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["src", "w", "rel", "block_idx", "visited"],
-    meta_fields=["n_rows_padded", "n_tiles", "n_chunks", "tiles_per_chunk"],
+    meta_fields=["n_rows_padded", "n_rows", "n_tiles", "n_chunks", "tiles_per_chunk"],
 )
 @dataclasses.dataclass
 class TilePlan:
@@ -65,6 +65,7 @@ class TilePlan:
     block_idx: jax.Array  # int32 [K, C] output block per tile (nondecreasing)
     visited: jax.Array  # bool [K, n_blocks] blocks touched by each chunk
     n_rows_padded: int
+    n_rows: int  # true output row count (<= n_rows_padded)
     n_tiles: int
     n_chunks: int
     tiles_per_chunk: int
@@ -84,8 +85,19 @@ class SpmmPlan:
     compute_dtype: str = "float32"  # 'float32' (parity) | 'bfloat16' (fast)
 
 
+def count_tiles(dst, n_nodes: int) -> int:
+    """Tile count a plan for these destinations will have (for cross-shard
+    shape alignment)."""
+    n_rows_padded = max(ROW_BLOCK, int(-(-n_nodes // ROW_BLOCK)) * ROW_BLOCK)
+    counts = np.bincount(
+        np.asarray(dst, np.int64) // ROW_BLOCK, minlength=n_rows_padded // ROW_BLOCK
+    )
+    return int(np.maximum(-(-counts // EDGE_TILE), 1).sum())
+
+
 def _build_tile_plan(
-    src, dst, w, n_nodes: int, max_chunk_tiles: int = 4096
+    src, dst, w, n_nodes: int, max_chunk_tiles: int = 4096, pad_tiles_to: int = 0,
+    device: bool = True,
 ) -> TilePlan:
     """Host-side tiling: sort by dst, cut tiles at block boundaries and at
     EDGE_TILE occupancy, pad tiles with zero-weight edges, group into
@@ -127,6 +139,18 @@ def _build_tile_plan(
     block_of_tile = np.repeat(
         np.arange(n_blocks, dtype=np.int32), tiles_per_block
     )
+    if pad_tiles_to > n_tiles:
+        # cross-shard alignment: extra dummy tiles repeat the last real
+        # tile's block with w=0 (consecutive, so no spurious first-visit
+        # zeroing; contribution is exactly zero)
+        pad = pad_tiles_to - n_tiles
+        src_t = np.concatenate([src_t, np.zeros((pad, EDGE_TILE), np.int32)])
+        w_t = np.concatenate([w_t, np.zeros((pad, EDGE_TILE), np.float32)])
+        rel_t = np.concatenate([rel_t, np.zeros((pad, EDGE_TILE), np.int32)])
+        block_of_tile = np.concatenate(
+            [block_of_tile, np.full(pad, block_of_tile[-1], np.int32)]
+        )
+        n_tiles = pad_tiles_to
 
     # chunking: pad the tile count to K * C; padding tiles carry w=0 and the
     # last real tile's block (their kernel contribution is exactly zero).
@@ -146,13 +170,15 @@ def _build_tile_plan(
     chunk_of_tile = np.arange(t_pad) // c
     visited[chunk_of_tile, block_of_tile] = True
 
+    put = jnp.asarray if device else (lambda a: a)
     return TilePlan(
-        src=jnp.asarray(src_t.reshape(k, c, EDGE_TILE)),
-        w=jnp.asarray(w_t.reshape(k, c, EDGE_TILE)),
-        rel=jnp.asarray(rel_t.reshape(k, c, EDGE_TILE)),
-        block_idx=jnp.asarray(block_of_tile.reshape(k, c)),
-        visited=jnp.asarray(visited),
+        src=put(src_t.reshape(k, c, EDGE_TILE)),
+        w=put(w_t.reshape(k, c, EDGE_TILE)),
+        rel=put(rel_t.reshape(k, c, EDGE_TILE)),
+        block_idx=put(block_of_tile.reshape(k, c)),
+        visited=put(visited),
         n_rows_padded=n_rows_padded,
+        n_rows=n_nodes,
         n_tiles=n_tiles,
         n_chunks=k,
         tiles_per_chunk=c,
@@ -280,7 +306,7 @@ def _run_tiles(plan: TilePlan, x: jax.Array, compute_dtype=jnp.float32) -> jax.A
             h_pad,
             compute_dtype,
         )
-        return out[:n, :h]
+        return out[:plan.n_rows, :h]
 
     def body(carry, chunk):
         src_c, w_c, rel_c, blk_c, vis_c = chunk
@@ -296,7 +322,7 @@ def _run_tiles(plan: TilePlan, x: jax.Array, compute_dtype=jnp.float32) -> jax.A
     out, _ = jax.lax.scan(
         body, init, (plan.src, plan.w, plan.rel, plan.block_idx, plan.visited)
     )
-    return out[:n, :h]
+    return out[:plan.n_rows, :h]
 
 
 def _zero_cotangent(tree):

@@ -42,8 +42,8 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "graph") -> Mesh:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["src", "dst_local", "w", "self_w"],
-    meta_fields=["n_nodes", "rows_per", "mesh", "axis"],
+    data_fields=["src", "dst_local", "w", "self_w", "plan_fwd", "plan_bwd"],
+    meta_fields=["n_nodes", "rows_per", "mesh", "axis", "compute_dtype"],
 )
 @dataclasses.dataclass
 class ShardedAdj:
@@ -53,6 +53,11 @@ class ShardedAdj:
     dst_local: int32 [D, E_max] destination row local to the shard
     w:         float32 [D, E_max] normalized weights (0 on padding)
     self_w:    float32 [N] self-loop diagonal (replicated)
+    plan_fwd/plan_bwd: optional TilePlans with a leading shard axis
+               (uniform shapes across shards): the Pallas kernel then runs
+               per shard inside shard_map instead of the XLA segment path.
+               fwd maps replicated X -> local rows; bwd is the transpose
+               (local grad rows -> full-node cotangent, psum'd by shard_map).
     """
 
     src: jax.Array
@@ -63,21 +68,36 @@ class ShardedAdj:
     rows_per: int
     mesh: Mesh
     axis: str
+    plan_fwd: Optional[object] = None
+    plan_bwd: Optional[object] = None
+    compute_dtype: str = "float32"
 
     @property
     def n_shards(self) -> int:
         return int(self.src.shape[0])
 
 
-def build_sharded_adj(g: TextGraph, mesh: Mesh, axis: str = "graph") -> ShardedAdj:
+def build_sharded_adj(
+    g: TextGraph,
+    mesh: Mesh,
+    axis: str = "graph",
+    use_pallas: bool = False,
+    pallas_dtype: str = "float32",
+) -> ShardedAdj:
     """Host-side partition: normalize, split edges by destination row block,
-    pad shards to a uniform edge count."""
+    pad shards to a uniform edge count; optionally build per-shard Pallas
+    tile plans (padded to uniform tile counts across shards)."""
+    from ..ops.spmm_pallas import ROW_BLOCK, _build_tile_plan, count_tiles
+
     n_dev = mesh.shape[axis]
     src = np.asarray(g.edge_src, np.int64)
     dst = np.asarray(g.edge_dst, np.int64)
     norm_w, self_w = gcn_normalize_np(src, dst, np.asarray(g.edge_w), g.n_nodes)
 
+    # rows_per aligned to the kernel's output block so a shard's padded
+    # output rows are exactly its row slice of the gathered result
     rows_per = -(-g.n_nodes // n_dev)
+    rows_per = -(-rows_per // ROW_BLOCK) * ROW_BLOCK
     shard_of_edge = dst // rows_per
     order = np.argsort(shard_of_edge, kind="stable")
     src, dst, norm_w = src[order], dst[order], norm_w[order]
@@ -89,12 +109,32 @@ def build_sharded_adj(g: TextGraph, mesh: Mesh, axis: str = "graph") -> ShardedA
     dstl_s = np.zeros((n_dev, e_max), np.int32)
     w_s = np.zeros((n_dev, e_max), np.float32)
     starts = np.concatenate([[0], np.cumsum(counts)])
+    per_shard = []
     for d in range(n_dev):
         lo, hi = starts[d], starts[d + 1]
         k = hi - lo
         src_s[d, :k] = src[lo:hi]
         dstl_s[d, :k] = dst[lo:hi] - d * rows_per
         w_s[d, :k] = norm_w[lo:hi]
+        per_shard.append((src_s[d, :k].copy(), dstl_s[d, :k].copy(), w_s[d, :k].copy()))
+
+    plan_fwd = plan_bwd = None
+    if use_pallas:
+        t_fwd = max(count_tiles(d_, rows_per) for _, d_, _ in per_shard)
+        t_bwd = max(count_tiles(s_, g.n_nodes) for s_, _, _ in per_shard)
+        fwd_plans, bwd_plans = [], []
+        for s_, d_, w_ in per_shard:
+            fwd_plans.append(
+                _build_tile_plan(s_, d_, w_, rows_per, pad_tiles_to=t_fwd, device=False)
+            )
+            bwd_plans.append(
+                _build_tile_plan(d_, s_, w_, g.n_nodes, pad_tiles_to=t_bwd, device=False)
+            )
+        # stack on host, upload once (eager per-leaf device stacking would be
+        # a separate remote compile per op on tunneled backends)
+        stack = lambda plans: jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *plans)
+        plan_fwd = stack(fwd_plans)
+        plan_bwd = stack(bwd_plans)
 
     return ShardedAdj(
         src=jnp.asarray(src_s),
@@ -105,13 +145,41 @@ def build_sharded_adj(g: TextGraph, mesh: Mesh, axis: str = "graph") -> ShardedA
         rows_per=rows_per,
         mesh=mesh,
         axis=axis,
+        plan_fwd=plan_fwd,
+        plan_bwd=plan_bwd,
+        compute_dtype=pallas_dtype,
     )
 
 
 def spmm_sharded(adj: ShardedAdj, x: jax.Array) -> jax.Array:
-    """``A_hat @ x`` with the aggregation row-partitioned over the mesh."""
+    """``A_hat @ x`` with the aggregation row-partitioned over the mesh.
+
+    With per-shard tile plans the local aggregation runs in the Pallas
+    kernel (custom VJP: the transpose plan emits this shard's contribution
+    to the full-node cotangent, which shard_map psums since x is
+    replicated); otherwise XLA gather/segment_sum."""
     rows_per, n_nodes, axis = adj.rows_per, adj.n_nodes, adj.axis
-    h = x.shape[1]
+
+    if adj.plan_fwd is not None:
+        from ..ops.spmm_pallas import _spmm_pallas
+
+        dtype = jnp.dtype(adj.compute_dtype).type
+
+        def local_pallas(pf, pb, x_full):
+            pf_l = jax.tree.map(lambda a: a[0], pf)
+            pb_l = jax.tree.map(lambda a: a[0], pb)
+            local = _spmm_pallas(x_full, pf_l, pb_l, dtype)  # (rows_per, h)
+            full = jax.lax.all_gather(local, axis, axis=0, tiled=True)
+            return full[:n_nodes]
+
+        fn = jax.shard_map(
+            local_pallas,
+            mesh=adj.mesh,
+            in_specs=(P(axis), P(axis), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return fn(adj.plan_fwd, adj.plan_bwd, x) + adj.self_w[:, None] * x
 
     def local_agg(src, dst_local, w, x_full):
         # local views: src/dst_local/w are (1, E_max); x_full replicated

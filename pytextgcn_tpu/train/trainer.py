@@ -120,7 +120,7 @@ class Trainer:
             if self.mesh is not None:
                 from ..parallel.sharded import build_sharded_adj
 
-                self._adj = build_sharded_adj(g, self.mesh)
+                self._adj = build_sharded_adj(g, self.mesh, use_pallas=self.use_pallas)
             else:
                 self._adj = NormAdj.from_graph(g, use_pallas=self.use_pallas)
             self._adj_edge_src = g.edge_src
