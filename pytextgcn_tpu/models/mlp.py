@@ -23,26 +23,47 @@ class SparseMatrix:
     """Minimal COO sparse matrix for MLP inputs (doc-term TF-IDF).
 
     Registered as a pytree so it can be closed over / passed through jit.
+    With ``use_pallas=True`` the product runs in the same Pallas tile kernel
+    as the GCN aggregation (one sparse engine for the whole framework); the
+    kernel's transpose plan supplies the dense operand's gradient
+    ``S^T @ g`` in backward.
     """
 
-    def __init__(self, row, col, data, shape):
+    def __init__(self, row, col, data, shape, plan=None):
         self.row = row
         self.col = col
         self.data = data
         self.shape = shape
+        self.plan = plan  # optional (fwd TilePlan, bwd TilePlan)
 
     @staticmethod
-    def from_scipy(m: sp.spmatrix) -> "SparseMatrix":
+    def from_scipy(m: sp.spmatrix, use_pallas: bool = False) -> "SparseMatrix":
         coo = m.tocoo()
+        plan = None
+        if use_pallas:
+            from ..ops.spmm_pallas import _build_tile_plan
+
+            row = coo.row.astype(np.int64)
+            col = coo.col.astype(np.int64)
+            data = coo.data.astype(np.float32)
+            plan = (
+                _build_tile_plan(col, row, data, m.shape[0]),  # S: w rows -> docs
+                _build_tile_plan(row, col, data, m.shape[1]),  # S^T: docs -> w rows
+            )
         return SparseMatrix(
             jnp.asarray(coo.row.astype(np.int32)),
             jnp.asarray(coo.col.astype(np.int32)),
             jnp.asarray(coo.data.astype(np.float32)),
             tuple(m.shape),
+            plan,
         )
 
     def matmul(self, w: jax.Array) -> jax.Array:
-        """(sparse [B, D]) @ (dense [D, H]) via gather + segment_sum."""
+        """(sparse [B, D]) @ (dense [D, H])."""
+        if self.plan is not None:
+            from ..ops.spmm_pallas import _spmm_pallas
+
+            return _spmm_pallas(w, self.plan[0], self.plan[1], jnp.float32)
         contrib = self.data[:, None] * jnp.take(w, self.col, axis=0)
         return jax.ops.segment_sum(contrib, self.row, num_segments=self.shape[0])
 
@@ -52,13 +73,13 @@ class SparseMatrix:
             (np.asarray(self.data), (np.asarray(self.row), np.asarray(self.col))),
             shape=self.shape,
         )
-        return SparseMatrix.from_scipy(m[idx])
+        return SparseMatrix.from_scipy(m[idx], use_pallas=self.plan is not None)
 
 
 jax.tree_util.register_pytree_node(
     SparseMatrix,
-    lambda m: ((m.row, m.col, m.data), m.shape),
-    lambda shape, kids: SparseMatrix(*kids, shape),
+    lambda m: ((m.row, m.col, m.data, m.plan), m.shape),
+    lambda shape, kids: SparseMatrix(kids[0], kids[1], kids[2], shape, kids[3]),
 )
 
 
