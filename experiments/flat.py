@@ -25,24 +25,40 @@ from pytextgcn_tpu.train.results import append_result
 
 
 def main(argv=None):
-    cfg = parse_config(argv)
-    docs, labels, test_idx, val_idx = load_corpus(cfg)
-    y = labels[0]
-    n_classes = int(np.max(y)) + 1
-    print(f"Data loaded! {len(docs)} docs, {n_classes} classes")
+    import sys
 
-    t2g = Text2Graph(
-        min_df=cfg.graph.min_df,
-        max_df=cfg.graph.max_df,
-        window_size=cfg.graph.window_size,
-        max_length=cfg.graph.max_length,
-        rm_stopwords=cfg.graph.rm_stopwords,
-        backend=cfg.graph.backend,
-        verbose=cfg.train.verbose,
-        n_jobs=8,
-    )
-    g = t2g.fit_transform(docs, y, test_idx=test_idx, val_idx=val_idx)
-    print("Graph built!")
+    argv = list(sys.argv[1:] if argv is None else argv)
+    load_graph = None
+    if "--load-graph" in argv:
+        # reuse a saved graph artifact (the reference's load_graph path,
+        # flat_amazon.py:74-76, on the npz format)
+        i = argv.index("--load-graph")
+        load_graph = argv[i + 1]
+        del argv[i : i + 2]
+    cfg = parse_config(argv)
+    if load_graph is not None:
+        g = Text2Graph.load_graph(load_graph)
+        n_classes = int(np.max(np.asarray(g.y))) + 1
+        print(f"Graph loaded from {load_graph}! n_classes={n_classes}")
+    else:
+        docs, labels, test_idx, val_idx = load_corpus(cfg)
+        y = labels[0]
+        n_classes = int(np.max(y)) + 1
+        print(f"Data loaded! {len(docs)} docs, {n_classes} classes")
+
+        t2g = Text2Graph(
+            min_df=cfg.graph.min_df,
+            max_df=cfg.graph.max_df,
+            window_size=cfg.graph.window_size,
+            max_length=cfg.graph.max_length,
+            rm_stopwords=cfg.graph.rm_stopwords,
+            backend=cfg.graph.backend,
+            save_path=cfg.graph.save_path,
+            verbose=cfg.train.verbose,
+            n_jobs=8,
+        )
+        g = t2g.fit_transform(docs, y, test_idx=test_idx, val_idx=val_idx)
+        print("Graph built!")
 
     model = make_model(cfg.model, g.in_dim, n_classes)
     trainer = Trainer(

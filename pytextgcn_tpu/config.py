@@ -23,6 +23,7 @@ class GraphConfig:
     max_length: Optional[int] = None
     rm_stopwords: bool = True
     backend: str = "auto"  # native | device | oracle | auto
+    save_path: Optional[str] = None  # directory for TGData_*.npz artifacts
 
 
 @dataclasses.dataclass
@@ -113,7 +114,8 @@ def parse_config(argv=None, cfg: Optional[ExperimentConfig] = None) -> Experimen
     pull(cfg.train, "train_")
     # argparse 'None' strings back to None
     for obj, name in ((cfg, "data_dir"), (cfg, "result_file"), (cfg, "save_model"),
-                      (cfg.train, "early_stopping"), (cfg.graph, "max_length")):
+                      (cfg.train, "early_stopping"), (cfg.graph, "max_length"),
+                      (cfg.graph, "save_path")):
         if getattr(obj, name) in ("None", "none", ""):
             setattr(obj, name, None)
     if isinstance(cfg.graph.max_length, str):
