@@ -46,6 +46,12 @@ extern "C" {
 // Counts word pairs into the packed upper-triangular array `cij`
 // (caller-allocated, size n_vocab*(n_vocab+1)/2, zero-initialized).
 // Returns the number of sliding windows.
+//
+// Parallelization over documents. For small vocabularies each thread counts
+// into a private triangular array merged afterwards (plain adds, no cache
+// contention); above a memory threshold threads share `cij` with relaxed
+// atomic increments (hub words then contend, but private arrays would cost
+// threads * V^2/2 * 4 bytes).
 uint64_t tg_sliding_window(const int32_t* X, int64_t n_docs, int64_t seq_len,
                            int32_t n_vocab, int32_t window, int32_t n_threads,
                            uint32_t* cij) {
@@ -53,9 +59,11 @@ uint64_t tg_sliding_window(const int32_t* X, int64_t n_docs, int64_t seq_len,
   if (n_threads < 1) n_threads = 1;
   const int64_t w = window;
   const int64_t n_pos = seq_len >= w ? seq_len - w + 1 : 1;
+  const int64_t tri = (int64_t)n_vocab * (n_vocab + 1) / 2;
   std::atomic<uint64_t> total_windows{0};
 
-  auto worker = [&](int64_t d_begin, int64_t d_end, bool atomic_add) {
+  auto worker = [&](int64_t d_begin, int64_t d_end, uint32_t* buf,
+                    bool atomic_add) {
     uint64_t windows = 0;
     for (int64_t d = d_begin; d < d_end; ++d) {
       const int32_t* doc = X + d * seq_len;
@@ -69,9 +77,9 @@ uint64_t tg_sliding_window(const int32_t* X, int64_t n_docs, int64_t seq_len,
             if (l >= seq_len || doc[l] == -1) break;
             const int64_t idx = tri_diag_index(doc[k], doc[l], n_vocab);
             if (atomic_add) {
-              __atomic_fetch_add(&cij[idx], 1u, __ATOMIC_RELAXED);
+              __atomic_fetch_add(&buf[idx], 1u, __ATOMIC_RELAXED);
             } else {
-              ++cij[idx];
+              ++buf[idx];
             }
           }
         }
@@ -80,8 +88,41 @@ uint64_t tg_sliding_window(const int32_t* X, int64_t n_docs, int64_t seq_len,
     total_windows.fetch_add(windows, std::memory_order_relaxed);
   };
 
-  if (n_threads == 1 || n_docs < 2 * n_threads) {
-    worker(0, n_docs, /*atomic_add=*/false);
+  const bool small = n_docs < 2 * n_threads;
+  constexpr int64_t kPrivateBudget = int64_t(512) << 20;  // bytes
+  const bool privatize =
+      !small && (int64_t)(n_threads - 1) * tri * 4 <= kPrivateBudget;
+
+  if (n_threads == 1 || small) {
+    worker(0, n_docs, cij, /*atomic_add=*/false);
+  } else if (privatize) {
+    std::vector<std::vector<uint32_t>> privs(n_threads - 1);
+    std::vector<std::thread> threads;
+    const int64_t per = (n_docs + n_threads - 1) / n_threads;
+    for (int32_t t = 1; t < n_threads; ++t) {
+      const int64_t b = t * per;
+      const int64_t e = std::min<int64_t>(b + per, n_docs);
+      if (b >= e) break;
+      privs[t - 1].assign((size_t)tri, 0);
+      threads.emplace_back(worker, b, e, privs[t - 1].data(), false);
+    }
+    worker(0, std::min<int64_t>(per, n_docs), cij, false);  // main thread
+    for (auto& th : threads) th.join();
+    // merge (parallel over ranges of the triangular array)
+    std::vector<std::thread> mergers;
+    const int64_t chunk = (tri + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      const int64_t b = t * chunk, e = std::min<int64_t>(b + chunk, tri);
+      if (b >= e) break;
+      mergers.emplace_back([&, b, e]() {
+        for (auto& p : privs) {
+          if (p.empty()) continue;
+          const uint32_t* src_p = p.data();
+          for (int64_t i = b; i < e; ++i) cij[i] += src_p[i];
+        }
+      });
+    }
+    for (auto& th : mergers) th.join();
   } else {
     std::vector<std::thread> threads;
     const int64_t per = (n_docs + n_threads - 1) / n_threads;
@@ -89,7 +130,7 @@ uint64_t tg_sliding_window(const int32_t* X, int64_t n_docs, int64_t seq_len,
       const int64_t b = t * per;
       const int64_t e = std::min<int64_t>(b + per, n_docs);
       if (b >= e) break;
-      threads.emplace_back(worker, b, e, /*atomic_add=*/true);
+      threads.emplace_back(worker, b, e, cij, /*atomic_add=*/true);
     }
     for (auto& th : threads) th.join();
   }
