@@ -25,21 +25,13 @@ from pytextgcn_tpu.train.results import append_result
 
 
 def main(argv=None):
-    import sys
-
-    argv = list(sys.argv[1:] if argv is None else argv)
-    load_graph = None
-    if "--load-graph" in argv:
+    cfg = parse_config(argv)
+    if cfg.load_graph is not None:
         # reuse a saved graph artifact (the reference's load_graph path,
         # flat_amazon.py:74-76, on the npz format)
-        i = argv.index("--load-graph")
-        load_graph = argv[i + 1]
-        del argv[i : i + 2]
-    cfg = parse_config(argv)
-    if load_graph is not None:
-        g = Text2Graph.load_graph(load_graph)
+        g = Text2Graph.load_graph(cfg.load_graph)
         n_classes = int(np.max(np.asarray(g.y))) + 1
-        print(f"Graph loaded from {load_graph}! n_classes={n_classes}")
+        print(f"Graph loaded from {cfg.load_graph}! n_classes={n_classes}")
     else:
         docs, labels, test_idx, val_idx = load_corpus(cfg)
         y = labels[0]

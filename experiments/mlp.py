@@ -57,6 +57,7 @@ def main(argv=None):
         epochs=cfg.train.epochs,
         seed=cfg.train.seed,
         verbose=cfg.train.verbose,
+        use_pallas=cfg.train.use_pallas,
     )
     if hierarchy == "flat":
         results = [mlp_flat(splits, level, **kwargs) for level in range(len(level_labels))]

@@ -66,18 +66,24 @@ def main(argv=None):
     if eval_only:
         import json
 
+        import jax
+
         assert cfg.save_model, "--eval-only needs --save-model <dir> to load from"
         from pytextgcn_tpu.train.checkpoint import load_checkpoint, load_meta
 
         with open(os.path.join(cfg.save_model, "class_mapping.json")) as f:
             mapping = {int(k): v for k, v in json.load(f).items()}
         trainers = []
+        step_cache = {}  # same-shaped class models share one jitted predict
         for c in sorted(mapping):
             path = os.path.join(cfg.save_model, f"lvl2-cat{c}")
             n_out = len(load_meta(path)["classes"])
             model = make_model(cfg.model, g.in_dim, n_out)
-            trainer = Trainer(model, lr=cfg.train.lr, use_pallas=cfg.train.use_pallas)
-            template = model.init(__import__("jax").random.PRNGKey(0))
+            trainer = Trainer(
+                model, lr=cfg.train.lr, use_pallas=cfg.train.use_pallas,
+                step_cache=step_cache,
+            )
+            template = model.init(jax.random.PRNGKey(0))
             trainer.params, _ = load_checkpoint(path, template)
             trainers.append(trainer)
         out = {"trainers": trainers, "mapping": mapping}

@@ -95,10 +95,11 @@ def train_mlp(
     patience: int = 10,
     min_epochs: int = 30,
     verbose: int = 0,
+    use_pallas: bool = False,
 ):
     """Full-batch MLP training; returns (model, params, history)."""
-    xs_tr = SparseMatrix.from_scipy(x_train)
-    xs_va = SparseMatrix.from_scipy(x_val)
+    xs_tr = SparseMatrix.from_scipy(x_train, use_pallas=use_pallas)
+    xs_va = SparseMatrix.from_scipy(x_val, use_pallas=use_pallas)
     y_tr = jnp.asarray(np.asarray(y_train, np.int32))
     y_va = jnp.asarray(np.asarray(y_val, np.int32))
     mask_tr = jnp.ones(y_tr.shape[0], bool)
@@ -147,9 +148,9 @@ def train_mlp(
     return model, params, history
 
 
-def _predict(model, params, x: sp.csr_matrix) -> np.ndarray:
-    xs = SparseMatrix.from_scipy(x)
-    logits = jax.jit(lambda p: model.apply(p, xs, train=False))(params)
+def _predict(model, params, x: sp.csr_matrix, use_pallas: bool = False) -> np.ndarray:
+    xs = SparseMatrix.from_scipy(x, use_pallas=use_pallas)
+    logits = jax.jit(lambda p, v: model.apply(p, v, train=False))(params, xs)
     return np.asarray(jnp.argmax(logits, axis=-1))
 
 
@@ -173,7 +174,7 @@ def mlp_flat(splits: MlpSplits, level: int, **train_kwargs) -> dict:
         n_classes,
         **train_kwargs,
     )
-    pred = _predict(model, params, splits.x_test)
+    pred = _predict(model, params, splits.x_test, train_kwargs.get("use_pallas", False))
     out = _test_metrics(pred, splits.y_test[level])
     out.update({"model": model, "params": params, "history": hist, "pred": pred})
     return out
@@ -201,7 +202,7 @@ def mlp_per_level(splits: MlpSplits, **train_kwargs) -> List[dict]:
             n_classes,
             **train_kwargs,
         )
-        pred = _predict(model, params, x_test)
+        pred = _predict(model, params, x_test, train_kwargs.get("use_pallas", False))
         res = _test_metrics(pred, splits.y_test[cat + 1])
         res.update({"model": model, "params": params, "history": hist, "pred": pred})
         results.append(res)
@@ -238,7 +239,10 @@ def mlp_per_label(splits: MlpSplits, **train_kwargs) -> List[dict]:
             )
             te_mask = y_pred == label
             if te_mask.any():
-                pred_local = _predict(model, params, splits.x_test[te_mask])
+                pred_local = _predict(
+                    model, params, splits.x_test[te_mask],
+                    train_kwargs.get("use_pallas", False),
+                )
                 predictions[te_mask] = classes[pred_local]
         res = _test_metrics(predictions, y_te_c)
         res["pred"] = predictions

@@ -103,8 +103,13 @@ uint64_t tg_sliding_window(const int32_t* X, int64_t n_docs, int64_t seq_len,
       const int64_t b = t * per;
       const int64_t e = std::min<int64_t>(b + per, n_docs);
       if (b >= e) break;
-      privs[t - 1].assign((size_t)tri, 0);
-      threads.emplace_back(worker, b, e, privs[t - 1].data(), false);
+      // allocate + zero inside the worker: parallel first-touch page
+      // placement instead of a serial up-to-512MB memset on this thread
+      auto* priv = &privs[t - 1];
+      threads.emplace_back([&, b, e, priv]() {
+        priv->assign((size_t)tri, 0);
+        worker(b, e, priv->data(), false);
+      });
     }
     worker(0, std::min<int64_t>(per, n_docs), cij, false);  // main thread
     for (auto& th : threads) th.join();

@@ -55,6 +55,7 @@ class ExperimentConfig:
     labels: str = "Cat2"  # amazon: Cat1/Cat2; dbpedia: l1/l2/l3
     result_file: Optional[str] = None
     save_model: Optional[str] = None
+    load_graph: Optional[str] = None  # path to a saved TGData_*.npz artifact
     graph: GraphConfig = dataclasses.field(default_factory=GraphConfig)
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
@@ -114,8 +115,8 @@ def parse_config(argv=None, cfg: Optional[ExperimentConfig] = None) -> Experimen
     pull(cfg.train, "train_")
     # argparse 'None' strings back to None
     for obj, name in ((cfg, "data_dir"), (cfg, "result_file"), (cfg, "save_model"),
-                      (cfg.train, "early_stopping"), (cfg.graph, "max_length"),
-                      (cfg.graph, "save_path")):
+                      (cfg, "load_graph"), (cfg.train, "early_stopping"),
+                      (cfg.graph, "max_length"), (cfg.graph, "save_path")):
         if getattr(obj, name) in ("None", "none", ""):
             setattr(obj, name, None)
     if isinstance(cfg.graph.max_length, str):

@@ -29,15 +29,18 @@ class SparseMatrix:
     ``S^T @ g`` in backward.
     """
 
-    def __init__(self, row, col, data, shape, plan=None):
+    def __init__(self, row, col, data, shape, plan=None, compute_dtype="float32"):
         self.row = row
         self.col = col
         self.data = data
         self.shape = shape
         self.plan = plan  # optional (fwd TilePlan, bwd TilePlan)
+        self.compute_dtype = compute_dtype
 
     @staticmethod
-    def from_scipy(m: sp.spmatrix, use_pallas: bool = False) -> "SparseMatrix":
+    def from_scipy(
+        m: sp.spmatrix, use_pallas: bool = False, compute_dtype: str = "float32"
+    ) -> "SparseMatrix":
         coo = m.tocoo()
         plan = None
         if use_pallas:
@@ -56,6 +59,7 @@ class SparseMatrix:
             jnp.asarray(coo.data.astype(np.float32)),
             tuple(m.shape),
             plan,
+            compute_dtype,
         )
 
     def matmul(self, w: jax.Array) -> jax.Array:
@@ -63,7 +67,9 @@ class SparseMatrix:
         if self.plan is not None:
             from ..ops.spmm_pallas import _spmm_pallas
 
-            return _spmm_pallas(w, self.plan[0], self.plan[1], jnp.float32)
+            return _spmm_pallas(
+                w, self.plan[0], self.plan[1], jnp.dtype(self.compute_dtype).type
+            )
         contrib = self.data[:, None] * jnp.take(w, self.col, axis=0)
         return jax.ops.segment_sum(contrib, self.row, num_segments=self.shape[0])
 
@@ -73,13 +79,15 @@ class SparseMatrix:
             (np.asarray(self.data), (np.asarray(self.row), np.asarray(self.col))),
             shape=self.shape,
         )
-        return SparseMatrix.from_scipy(m[idx], use_pallas=self.plan is not None)
+        return SparseMatrix.from_scipy(
+            m[idx], use_pallas=self.plan is not None, compute_dtype=self.compute_dtype
+        )
 
 
 jax.tree_util.register_pytree_node(
     SparseMatrix,
-    lambda m: ((m.row, m.col, m.data, m.plan), m.shape),
-    lambda shape, kids: SparseMatrix(kids[0], kids[1], kids[2], shape, kids[3]),
+    lambda m: ((m.row, m.col, m.data, m.plan), (m.shape, m.compute_dtype)),
+    lambda aux, kids: SparseMatrix(kids[0], kids[1], kids[2], aux[0], kids[3], aux[1]),
 )
 
 

@@ -94,10 +94,13 @@ def build_sharded_adj(
     dst = np.asarray(g.edge_dst, np.int64)
     norm_w, self_w = gcn_normalize_np(src, dst, np.asarray(g.edge_w), g.n_nodes)
 
-    # rows_per aligned to the kernel's output block so a shard's padded
-    # output rows are exactly its row slice of the gathered result
     rows_per = -(-g.n_nodes // n_dev)
-    rows_per = -(-rows_per // ROW_BLOCK) * ROW_BLOCK
+    if use_pallas:
+        # align to the kernel's output block so a shard's padded output rows
+        # are exactly its row slice of the gathered result (only the Pallas
+        # path needs this; unconditional alignment would skew the partition
+        # for small graphs — worst case all edges on shard 0)
+        rows_per = -(-rows_per // ROW_BLOCK) * ROW_BLOCK
     shard_of_edge = dst // rows_per
     order = np.argsort(shard_of_edge, kind="stable")
     src, dst, norm_w = src[order], dst[order], norm_w[order]

@@ -12,10 +12,13 @@ from tests.test_sharded import make_graph
 
 def test_sharded_pallas_matches_segment():
     rng = np.random.default_rng(5)
-    g = make_graph(rng, n_vocab=300, n_docs=340, n_edges=6000)
+    # > 3 * ROW_BLOCK * 4 nodes so all 4 shards genuinely hold edges
+    g = make_graph(rng, n_vocab=1600, n_docs=1700, n_edges=9000)
     mesh = make_mesh(4)
     sharded = build_sharded_adj(g, mesh, use_pallas=True)
     assert sharded.plan_fwd is not None
+    # every shard owns edges (the partition is real, not degenerate)
+    assert int((np.asarray(sharded.w).sum(axis=1) > 0).sum()) == 4
     single = NormAdj.from_graph(g)
     x = jnp.asarray(rng.standard_normal((g.n_nodes, 24)).astype(np.float32))
     got = jax.jit(lambda a, v: spmm(a, v))(sharded, x)
