@@ -70,14 +70,18 @@ def build_graph():
 def time_step(step_fn, params, opt_state, rng, repeats):
     import jax
 
-    # warmup/compile
+    # compile + warmup (remote backends need several steps to settle);
+    # the float() fetches force real synchronization — block_until_ready
+    # alone under-reports through relay tunnels
     p, s, loss = step_fn(params, opt_state, rng)
-    jax.block_until_ready(loss)
+    for _ in range(4):
+        p, s, loss = step_fn(p, s, rng)
+    _ = float(loss)
     t0 = time.time()
     for _ in range(repeats):
         p, s, loss = step_fn(p, s, rng)
-    jax.block_until_ready(loss)
-    return (time.time() - t0) / repeats, float(loss)
+    final = float(loss)
+    return (time.time() - t0) / repeats, final
 
 
 def main():
