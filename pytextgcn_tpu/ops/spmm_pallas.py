@@ -232,7 +232,17 @@ def _spmm_kernel(block_ref, xg_ref, w_ref, rel_ref, out_ref, *, compute_dtype):
         slices.append(jnp.where(rows == rel_s, w_s, 0.0))
     m = jnp.concatenate(slices, axis=1)  # (ROW_BLOCK, EDGE_TILE)
     m = m.astype(compute_dtype)  # bf16 mode: MXU runs bf16 x bf16 -> f32
-    out_ref[:] += jnp.dot(m, xg_ref[0], preferred_element_type=jnp.float32)
+    # f32 mode must request HIGHEST precision: the MXU otherwise truncates
+    # f32 operands to bf16 passes, costing ~2 decimal digits vs the scatter
+    # path (the one-hot entries are exact, so only the xg operand matters)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    out_ref[:] += jnp.dot(
+        m, xg_ref[0], preferred_element_type=jnp.float32, precision=precision
+    )
 
 
 def _edge_vec_spec():
