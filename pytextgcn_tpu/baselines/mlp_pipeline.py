@@ -97,7 +97,15 @@ def train_mlp(
     verbose: int = 0,
     use_pallas: bool = False,
 ):
-    """Full-batch MLP training; returns (model, params, history)."""
+    """Full-batch MLP training; returns (model, params, history).
+
+    The whole epoch loop — step, on-device val macro-F1, and the reference's
+    patience early-stopping rule (MLP_flat.py:95-100) — runs inside ONE
+    jitted ``lax.while_loop``: zero per-epoch host round-trips (on tunneled
+    TPU backends a per-epoch scalar fetch costs more than the step itself;
+    cf. train/trainer.py). ``verbose>0`` falls back to a python loop with
+    the identical fold_in RNG stream, so both paths produce the same run.
+    """
     xs_tr = SparseMatrix.from_scipy(x_train, use_pallas=use_pallas)
     xs_va = SparseMatrix.from_scipy(x_val, use_pallas=use_pallas)
     y_tr = jnp.asarray(np.asarray(y_train, np.int32))
@@ -107,43 +115,81 @@ def train_mlp(
 
     model = MLP(x_train.shape[1], n_classes, list(hidden), dropout=dropout)
     key = jax.random.PRNGKey(seed)
-    key, ik = jax.random.split(key)
+    base_key, ik = jax.random.split(key)
     params = model.init(ik)
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def step(params, opt_state, rng):
+    # data rides as jit arguments — closed-over arrays would embed as
+    # program constants (remote-compile request bodies have a size limit)
+    def step(params, opt_state, rng, xs, y, mask):
         def loss_fn(p):
-            logits = model.apply(p, xs_tr, train=True, rng=rng)
-            return masked_cross_entropy(logits, y_tr, mask_tr)
+            logits = model.apply(p, xs, train=True, rng=rng)
+            return masked_cross_entropy(logits, y, mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    @jax.jit
-    def evaluate(params):
-        logits = model.apply(params, xs_va, train=False)
-        pred = jnp.argmax(logits, axis=-1)
-        return macro_f1(pred, y_va, mask_va, n_classes)
+    def val_f1(params, xs, y, mask):
+        logits = model.apply(params, xs, train=False)
+        return macro_f1(jnp.argmax(logits, axis=-1), y, mask, n_classes)
 
+    if verbose == 0:
+        @jax.jit
+        def run(params, opt_state, base_key, xs_tr, y_tr, mask_tr, xs_va, y_va, mask_va):
+            def body(carry):
+                p, o, e, stop, loss_buf, f1_buf = carry
+                rng = jax.random.fold_in(base_key, e)
+                p, o, loss = step(p, o, rng, xs_tr, y_tr, mask_tr)
+                f1 = val_f1(p, xs_va, y_va, mask_va)
+                loss_buf = loss_buf.at[e].set(loss)
+                f1_buf = f1_buf.at[e].set(f1)
+                if early_stopping:
+                    # last `patience` F1s all <= the F1 `patience+1` evals ago
+                    win = jax.lax.dynamic_slice(
+                        f1_buf, (jnp.maximum(e - patience, 0),), (patience + 1,)
+                    )
+                    dec = jnp.sum(win[1:] <= win[0])
+                    stop = (e > min_epochs) & (e >= patience) & (dec >= patience)
+                return p, o, e + 1, stop, loss_buf, f1_buf
+
+            init = (
+                params,
+                opt_state,
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((), bool),
+                jnp.zeros(epochs, jnp.float32),
+                jnp.zeros(epochs, jnp.float32),
+            )
+            return jax.lax.while_loop(
+                lambda c: (c[2] < epochs) & ~c[3], body, init
+            )
+
+        params, opt_state, n_run, _, loss_buf, f1_buf = run(
+            params, opt_state, base_key, xs_tr, y_tr, mask_tr, xs_va, y_va, mask_va
+        )
+        n_run = int(n_run)  # the single host sync of the whole training run
+        losses, f1s = np.asarray(loss_buf[:n_run]), np.asarray(f1_buf[:n_run])
+        history = list(zip(losses.tolist(), f1s.tolist()))
+        return model, params, history
+
+    step_j = jax.jit(step)
+    val_j = jax.jit(val_f1)
     history = []
     for epoch in range(epochs):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, sub)
-        f1_val = float(evaluate(params))
-        history.append((float(loss), f1_val))
-        if verbose > 0:
-            print(f"[{epoch + 1}] loss: {history[-1][0]: .3f}, val_f1: {f1_val: .3f}")
-        if early_stopping and epoch > min_epochs:
+        rng = jax.random.fold_in(base_key, epoch)
+        params, opt_state, loss = step_j(params, opt_state, rng, xs_tr, y_tr, mask_tr)
+        f1v = float(val_j(params, xs_va, y_va, mask_va))
+        history.append((float(loss), f1v))
+        print(f"[{epoch + 1}] loss: {history[-1][0]: .3f}, val_f1: {f1v: .3f}")
+        if early_stopping and epoch > min_epochs and epoch >= patience:
             dec = sum(
                 history[-(i + 1)][1] <= history[-(patience + 1)][1]
                 for i in range(patience)
             )
             if dec >= patience:
-                if verbose > 0:
-                    print(f"Early stopping! Validation f1 decreased for {dec} epochs!")
+                print(f"Early stopping! Validation f1 decreased for {dec} epochs!")
                 break
     return model, params, history
 

@@ -1,10 +1,18 @@
 from .multihost import global_mesh, host_local_mesh, init_distributed
-from .sharded import ShardedAdj, build_sharded_adj, make_mesh
+from .sharded import (
+    ShardedAdj,
+    build_sharded_adj,
+    make_mesh,
+    put_global,
+    replicate_global,
+)
 
 __all__ = [
     "ShardedAdj",
     "build_sharded_adj",
     "make_mesh",
+    "put_global",
+    "replicate_global",
     "init_distributed",
     "global_mesh",
     "host_local_mesh",

@@ -55,7 +55,12 @@ def init_distributed(
         if "already" in str(e).lower():
             _init_done = True
             return
-        # single-process environment (no cluster metadata): run standalone
+        if coordinator_address is not None:
+            # an explicitly requested cluster that fails to form is a real
+            # failure (wrong address, dead coordinator) — never swallow it
+            raise
+        # auto-detect path only: no cluster metadata means a plain
+        # single-process environment — run standalone
         _init_done = True
 
 

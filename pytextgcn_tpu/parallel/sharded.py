@@ -40,6 +40,27 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "graph") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def put_global(mesh: Mesh, spec: P, arr: np.ndarray) -> jax.Array:
+    """Place a host array as a global array sharded by ``spec`` over
+    ``mesh``. Works on multi-process meshes (every process holds the same
+    full host array — graph finalization is deterministic — and contributes
+    its addressable shards); on single-process meshes it simply places each
+    shard on its device, skipping the resharding a plain ``jnp.asarray``
+    would cost on entry to ``shard_map``."""
+    from jax.sharding import NamedSharding
+
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, NamedSharding(mesh, spec), lambda idx: arr[idx]
+    )
+
+
+def replicate_global(mesh: Mesh, arr) -> jax.Array:
+    """Replicate an array over every device of a (possibly multi-process)
+    mesh."""
+    return put_global(mesh, P(), np.asarray(arr))
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["src", "dst_local", "w", "self_w", "plan_fwd", "plan_bwd"],
@@ -134,16 +155,20 @@ def build_sharded_adj(
                 _build_tile_plan(d_, s_, w_, g.n_nodes, pad_tiles_to=t_bwd, device=False)
             )
         # stack on host, upload once (eager per-leaf device stacking would be
-        # a separate remote compile per op on tunneled backends)
-        stack = lambda plans: jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *plans)
+        # a separate remote compile per op on tunneled backends); leaves are
+        # placed pre-sharded over the mesh so this works on multi-process
+        # meshes and skips resharding-on-entry to shard_map
+        stack = lambda plans: jax.tree.map(
+            lambda *xs: put_global(mesh, P(axis), np.stack(xs)), *plans
+        )
         plan_fwd = stack(fwd_plans)
         plan_bwd = stack(bwd_plans)
 
     return ShardedAdj(
-        src=jnp.asarray(src_s),
-        dst_local=jnp.asarray(dstl_s),
-        w=jnp.asarray(w_s),
-        self_w=jnp.asarray(self_w),
+        src=put_global(mesh, P(axis), src_s),
+        dst_local=put_global(mesh, P(axis), dstl_s),
+        w=put_global(mesh, P(axis), w_s),
+        self_w=replicate_global(mesh, self_w),
         n_nodes=g.n_nodes,
         rows_per=rows_per,
         mesh=mesh,

@@ -142,12 +142,18 @@ class Trainer:
         patience: int = 10,
         min_epochs: int = 30,
         log_fn: Callable[[str], None] = print,
+        start_epoch: int = 0,
     ) -> List[Dict[str, float]]:
         """Train on the full graph; returns per-epoch history.
 
         ``early_stopping='reference'`` replicates flat_amazon.py:121-123
         (stop when the train loss 5 epochs ago beat the current one);
         ``'val_f1'`` is the patience scheme of MLP_flat.py:54,100-110.
+
+        ``start_epoch``: resume point (use :meth:`restore`). The per-epoch
+        RNG is ``fold_in(base_key, epoch)`` with a base key fixed at the
+        start of the run and checkpointed, so a resumed run replays the
+        exact RNG stream of an uninterrupted one.
         """
         if n_classes is None:
             n_classes = int(np.max(np.asarray(g.y))) + 1
@@ -164,15 +170,23 @@ class Trainer:
         if self.params is None:
             self.params = self.model.init(init_key)
             self.opt_state = self.optimizer.init(self.params)
-        self._fit_calls = getattr(self, "_fit_calls", 0) + 1
-        base_key = jax.random.fold_in(base_key, self._fit_calls)
+        if start_epoch == 0:
+            # each fresh fit gets its own stream (hierarchy pipelines refit)
+            self._fit_calls = getattr(self, "_fit_calls", 0) + 1
+            self._base_key = jax.random.fold_in(base_key, self._fit_calls)
+        elif getattr(self, "_base_key", None) is None:
+            raise ValueError(
+                "start_epoch > 0 requires a restored RNG state — call "
+                "Trainer.restore(path) first"
+            )
+        base_key = self._base_key
 
         history: List[Dict[str, float]] = []
         f1_hist: List[float] = []  # val F1 at eval points (for 'val_f1' ES)
         width = len(str(epochs))
         t0 = time.time()
-        epoch_dev = jnp.zeros((), jnp.int32)
-        for epoch in range(epochs):
+        epoch_dev = jnp.asarray(start_epoch, jnp.int32)
+        for epoch in range(start_epoch, epochs):
             self.params, self.opt_state, epoch_dev, loss = train_step(
                 self.params, self.opt_state, base_key, epoch_dev, adj, feats, y, train_mask
             )
@@ -229,6 +243,46 @@ class Trainer:
             {k: float(v) for k, v in rec.items()} for rec in jax.device_get(history)
         ]
         return history
+
+    def save(self, path: str, epoch: int) -> None:
+        """Checkpoint params + opt state + RNG base key + epoch counter —
+        everything :meth:`fit` needs to resume bit-exactly (the reference
+        pickles whole modules with no optimizer/RNG state, flat_amazon.py:
+        126-128; mid-training resume does not exist there)."""
+        from .checkpoint import save_checkpoint
+
+        base_key = getattr(self, "_base_key", None)
+        save_checkpoint(
+            path,
+            self.params,
+            self.opt_state,
+            meta={
+                "epoch": int(epoch),
+                "seed": self.seed,
+                "fit_calls": getattr(self, "_fit_calls", 0),
+                "base_key": None
+                if base_key is None
+                else np.asarray(base_key, np.uint32).tolist(),
+            },
+        )
+
+    def restore(self, path: str) -> int:
+        """Load a checkpoint written by :meth:`save`; returns the epoch to
+        pass to ``fit(..., start_epoch=...)``. Requires params/opt_state
+        templates, which are created from the model if absent."""
+        from .checkpoint import load_checkpoint, load_meta
+
+        if self.params is None:
+            self.params = self.model.init(jax.random.PRNGKey(0))
+            self.opt_state = self.optimizer.init(self.params)
+        self.params, self.opt_state = load_checkpoint(path, self.params, self.opt_state)
+        meta = load_meta(path)
+        self._fit_calls = int(meta.get("fit_calls", 0))
+        bk = meta.get("base_key")
+        self._base_key = (
+            None if bk is None else jnp.asarray(np.asarray(bk, np.uint32))
+        )
+        return int(meta.get("epoch", 0))
 
     def predict_logits(self, g: Optional[TextGraph] = None) -> jax.Array:
         """Logits for all nodes (no dropout)."""

@@ -54,6 +54,30 @@ def test_mlp_per_level(splits):
     assert results[-1]["accuracy"] >= 0.6, results[-1]
 
 
+def test_train_mlp_device_loop_matches_python_loop(splits, capsys):
+    # verbose=0 runs the whole epoch loop (incl. early stopping) on device in
+    # one lax.while_loop; verbose>0 uses a python loop with the same fold_in
+    # RNG stream — both must produce the identical run
+    from pytextgcn_tpu.baselines.mlp_pipeline import train_mlp
+
+    n_classes = int(np.max(splits.y_train[1])) + 1
+    kw = dict(
+        n_classes=n_classes, hidden=(16,), epochs=40, early_stopping=True,
+        patience=5, min_epochs=10, seed=3,
+    )
+    args = (splits.x_train, splits.y_train[1], splits.x_val, splits.y_val[1])
+    _, p_dev, h_dev = train_mlp(*args, **kw)
+    _, p_py, h_py = train_mlp(*args, verbose=1, **kw)
+    capsys.readouterr()
+    assert len(h_dev) == len(h_py)
+    np.testing.assert_allclose(np.asarray(h_dev), np.asarray(h_py), rtol=2e-4, atol=1e-5)
+    for a, b in zip(
+        __import__("jax").tree_util.tree_leaves(p_dev),
+        __import__("jax").tree_util.tree_leaves(p_py),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
 def test_mlp_per_label(splits):
     results = mlp_per_label(splits, **FAST)
     assert len(results) == 2

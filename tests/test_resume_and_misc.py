@@ -54,6 +54,33 @@ def test_resume_training_bitexact(tmp_path, small_graph):
     assert abs(m_full["accuracy"] - m_res["accuracy"]) < 0.2
 
 
+def test_resume_replays_rng_stream_bitexact(tmp_path, small_graph):
+    """10+10 epochs with a save/restore in the middle == 20 straight epochs,
+    bit for bit — dropout ON so the per-epoch RNG stream matters (the base
+    key and epoch counter are checkpointed and replayed)."""
+    import jax
+
+    g = small_graph
+    mk = lambda: GCN(g.in_dim, 3, n_hidden_gcn=16, dropout=0.5)
+
+    t_full = Trainer(mk(), lr=0.05, seed=7)
+    t_full.fit(g, epochs=20, n_classes=3)
+
+    t_a = Trainer(mk(), lr=0.05, seed=7)
+    t_a.fit(g, epochs=10, n_classes=3)
+    t_a.save(str(tmp_path / "ck10"), epoch=10)
+
+    t_b = Trainer(mk(), lr=0.05, seed=7)  # fresh process stand-in
+    start = t_b.restore(str(tmp_path / "ck10"))
+    assert start == 10
+    t_b.fit(g, epochs=20, n_classes=3, start_epoch=start)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_full.params), jax.tree_util.tree_leaves(t_b.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_reference_early_stopping(small_graph):
     g = small_graph
     model = GCN(g.in_dim, 3, n_hidden_gcn=16, dropout=0.0)
