@@ -80,6 +80,87 @@ def append_onehot_feats(x: sp.csr_matrix, labels: np.ndarray, n_classes: int):
     return sp.hstack([x, oh]).tocsr()
 
 
+def _make_dp_step(model, opt, mesh, x_train: sp.csr_matrix, y_train):
+    """Doc-sharded data-parallel MLP step (SURVEY.md §2.4 DP row).
+
+    Host-side partition: CSR rows are split into ``D`` equal row blocks
+    (padded with empty rows), each shard's COO padded to a uniform nnz.
+    Device ``d`` backprops the CE *sum* over its rows; gradients and counts
+    are ``psum``-ed over the mesh axis, so the update equals the replicated
+    full-batch gradient exactly (modulo summation order).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.sharded import put_global
+
+    axis = mesh.axis_names[0]
+    d = mesh.shape[axis]
+    x = x_train.tocsr()
+    y = np.asarray(y_train, np.int32)
+    n, f = x.shape
+    b = -(-n // d)  # rows per shard
+
+    rows, cols, datas, ys, masks, e_max = [], [], [], [], [], 1
+    for i in range(d):
+        lo, hi = i * b, min((i + 1) * b, n)
+        block = x[lo:hi].tocoo()
+        rows.append(block.row.astype(np.int32))
+        cols.append(block.col.astype(np.int32))
+        datas.append(block.data.astype(np.float32))
+        y_i = np.zeros(b, np.int32)
+        m_i = np.zeros(b, bool)
+        y_i[: hi - lo] = y[lo:hi]
+        m_i[: hi - lo] = True
+        ys.append(y_i)
+        masks.append(m_i)
+        e_max = max(e_max, len(block.data))
+    pad = lambda a, fill: np.stack(
+        [np.concatenate([v, np.full(e_max - len(v), fill, v.dtype)]) for v in a]
+    )
+    shard = lambda a: put_global(mesh, P(axis), a)
+    train_in = (
+        shard(pad(rows, 0)),
+        shard(pad(cols, 0)),
+        shard(pad(datas, 0.0)),
+        shard(np.stack(ys)),
+        shard(np.stack(masks)),
+    )
+
+    def step(params, opt_state, rng, train_in):
+        def local(params, row, col, data, y, mask):
+            xs = SparseMatrix(row[0], col[0], data[0], (b, f))
+            # decorrelate per-shard dropout masks
+            key = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+            def loss_sum(p):
+                logits = model.apply(p, xs, train=True, rng=key)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                nll = -jnp.take_along_axis(logp, y[0][:, None], axis=-1)[:, 0]
+                m = mask[0].astype(logits.dtype)
+                return jnp.sum(nll * m), jnp.sum(m)
+
+            (s, cnt), grads = jax.value_and_grad(loss_sum, has_aux=True)(params)
+            s = jax.lax.psum(s, axis)
+            cnt = jax.lax.psum(cnt, axis)
+            grads = jax.lax.psum(grads, axis)
+            denom = jnp.maximum(cnt, 1.0)
+            return jax.tree.map(lambda g_: g_ / denom, grads), s / denom
+
+        from jax.sharding import PartitionSpec as P
+
+        grads, loss = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(params, *train_in)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return train_in, step
+
+
 def train_mlp(
     x_train: sp.csr_matrix,
     y_train: np.ndarray,
@@ -96,6 +177,7 @@ def train_mlp(
     min_epochs: int = 30,
     verbose: int = 0,
     use_pallas: bool = False,
+    mesh=None,
 ):
     """Full-batch MLP training; returns (model, params, history).
 
@@ -105,12 +187,17 @@ def train_mlp(
     TPU backends a per-epoch scalar fetch costs more than the step itself;
     cf. train/trainer.py). ``verbose>0`` falls back to a python loop with
     the identical fold_in RNG stream, so both paths produce the same run.
+
+    ``mesh``: a 1D `jax.sharding.Mesh` — training then runs **data
+    parallel**: train documents (CSR rows) are sharded over the mesh axis,
+    each device backprops its shard's CE *sum*, gradients are ``psum``-ed
+    and normalized by the global count — exactly the replicated full-batch
+    gradient (SURVEY.md §2.4 DP row; equality pinned in
+    test_mlp_dp.py, dropout off). Per-shard dropout masks are decorrelated
+    by folding the device index into the epoch key.
     """
-    xs_tr = SparseMatrix.from_scipy(x_train, use_pallas=use_pallas)
     xs_va = SparseMatrix.from_scipy(x_val, use_pallas=use_pallas)
-    y_tr = jnp.asarray(np.asarray(y_train, np.int32))
     y_va = jnp.asarray(np.asarray(y_val, np.int32))
-    mask_tr = jnp.ones(y_tr.shape[0], bool)
     mask_va = jnp.ones(y_va.shape[0], bool)
 
     model = MLP(x_train.shape[1], n_classes, list(hidden), dropout=dropout)
@@ -122,14 +209,24 @@ def train_mlp(
 
     # data rides as jit arguments — closed-over arrays would embed as
     # program constants (remote-compile request bodies have a size limit)
-    def step(params, opt_state, rng, xs, y, mask):
-        def loss_fn(p):
-            logits = model.apply(p, xs, train=True, rng=rng)
-            return masked_cross_entropy(logits, y, mask)
+    if mesh is None:
+        xs_tr = SparseMatrix.from_scipy(x_train, use_pallas=use_pallas)
+        y_tr = jnp.asarray(np.asarray(y_train, np.int32))
+        train_in = (xs_tr, y_tr, jnp.ones(y_tr.shape[0], bool))
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        def step(params, opt_state, rng, train_in):
+            xs, y, mask = train_in
+
+            def loss_fn(p):
+                logits = model.apply(p, xs, train=True, rng=rng)
+                return masked_cross_entropy(logits, y, mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+    else:
+        train_in, step = _make_dp_step(model, opt, mesh, x_train, y_train)
 
     def val_f1(params, xs, y, mask):
         logits = model.apply(params, xs, train=False)
@@ -137,11 +234,11 @@ def train_mlp(
 
     if verbose == 0:
         @jax.jit
-        def run(params, opt_state, base_key, xs_tr, y_tr, mask_tr, xs_va, y_va, mask_va):
+        def run(params, opt_state, base_key, train_in, xs_va, y_va, mask_va):
             def body(carry):
                 p, o, e, stop, loss_buf, f1_buf = carry
                 rng = jax.random.fold_in(base_key, e)
-                p, o, loss = step(p, o, rng, xs_tr, y_tr, mask_tr)
+                p, o, loss = step(p, o, rng, train_in)
                 f1 = val_f1(p, xs_va, y_va, mask_va)
                 loss_buf = loss_buf.at[e].set(loss)
                 f1_buf = f1_buf.at[e].set(f1)
@@ -167,7 +264,7 @@ def train_mlp(
             )
 
         params, opt_state, n_run, _, loss_buf, f1_buf = run(
-            params, opt_state, base_key, xs_tr, y_tr, mask_tr, xs_va, y_va, mask_va
+            params, opt_state, base_key, train_in, xs_va, y_va, mask_va
         )
         n_run = int(n_run)  # the single host sync of the whole training run
         losses, f1s = np.asarray(loss_buf[:n_run]), np.asarray(f1_buf[:n_run])
@@ -179,7 +276,7 @@ def train_mlp(
     history = []
     for epoch in range(epochs):
         rng = jax.random.fold_in(base_key, epoch)
-        params, opt_state, loss = step_j(params, opt_state, rng, xs_tr, y_tr, mask_tr)
+        params, opt_state, loss = step_j(params, opt_state, rng, train_in)
         f1v = float(val_j(params, xs_va, y_va, mask_va))
         history.append((float(loss), f1v))
         print(f"[{epoch + 1}] loss: {history[-1][0]: .3f}, val_f1: {f1v: .3f}")

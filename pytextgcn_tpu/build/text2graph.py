@@ -46,7 +46,14 @@ class Text2Graph:
         """Parameter set mirrors the reference (text2graph.py:50-52);
         ``sparse_features`` is gone because features are always implicit, and
         ``backend`` selects the word-word counting kernel
-        ('auto'/'device'/'native'/'oracle')."""
+        ('auto'/'device'/'native'/'oracle').
+
+        ``n_jobs``: thread count for the native counting kernel. The
+        reference documents this knob but never uses it (graphbuilder.pyx:36);
+        here ``n_jobs > 1`` pins exactly that many threads and the default
+        ``1`` keeps the kernel's own choice (hardware concurrency) — counting
+        is embarrassingly parallel over documents, so there is no reason to
+        serialize it by default."""
         assert min_df > 0
         self.min_df = min_df
         self.max_df = max_df
@@ -119,7 +126,8 @@ class Text2Graph:
 
         self._log(1, "Building word-word edges...")
         ww_coo, ww_w, n_windows = word_word_edges(
-            tokens, n_vocab, self.window_size, backend=self.backend
+            tokens, n_vocab, self.window_size, backend=self.backend,
+            n_jobs=self.n_jobs if self.n_jobs and self.n_jobs > 1 else 0,
         )
         self._log(2, f"Number of word-word-edges: {len(ww_w)} ({n_windows} windows)")
 

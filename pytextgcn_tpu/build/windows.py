@@ -286,18 +286,23 @@ def word_word_edges(
     n_vocab: int,
     window_size: int = 20,
     backend: str = "auto",
+    n_jobs: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Compute word-word PMI edges. ``backend``: 'native' (multithreaded C++
     host kernel), 'device' (JAX sort/segment ops), or 'oracle' (python-loop
     clone; tiny inputs only). 'auto' prefers native — graph construction is
     one-time host preprocessing and the C++ kernel avoids device round-trips
     (which are very expensive on tunneled TPU backends) — falling back to the
-    device path if the toolchain is unavailable."""
+    device path if the toolchain is unavailable.
+
+    ``n_jobs``: native-kernel thread count; 0 = hardware concurrency. (The
+    reference documents ``n_jobs`` on its Cython kernel but never uses it —
+    graphbuilder.pyx:36; here it is honored.)"""
     if backend == "auto":
         try:
             from .native_bridge import native_word_word_edges
 
-            return native_word_word_edges(tokens, n_vocab, window_size)
+            return native_word_word_edges(tokens, n_vocab, window_size, n_jobs)
         except Exception:
             return word_word_edges_device(tokens, n_vocab, window_size)
     if backend == "device":
@@ -305,7 +310,7 @@ def word_word_edges(
     if backend == "native":
         from .native_bridge import native_word_word_edges
 
-        return native_word_word_edges(tokens, n_vocab, window_size)
+        return native_word_word_edges(tokens, n_vocab, window_size, n_jobs)
     if backend == "oracle":
         c_ij, n_windows = sliding_window_counts(tokens, n_vocab, window_size)
         # expand packed triangle into sparse pair lists

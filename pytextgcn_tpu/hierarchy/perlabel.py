@@ -43,6 +43,51 @@ def _doc_mask_to_nodes(g: TextGraph, doc_mask: np.ndarray) -> np.ndarray:
     return m
 
 
+_PAD_BIAS = -1e9  # padded class logits: exp() underflows to exactly 0 in f32,
+# so padded columns get exactly-zero gradients and never win an argmax — a
+# C_max-padded member trains bit-identically to its unpadded C_i-class self
+
+
+def _member_label_arrays(g: TextGraph, y_child, y_parent, n_parents):
+    """Per-parent (classes, node labels, node mask) exactly as the sequential
+    path builds them (contiguous relabel per perlabel_amazon.py:93-110)."""
+    out = []
+    for c in range(n_parents):
+        doc_mask = y_parent == c
+        classes = np.unique(y_child[doc_mask])
+        local = np.searchsorted(classes, y_child)
+        y_nodes = np.zeros(g.n_nodes, np.int32)
+        y_nodes[g.n_vocab :][doc_mask] = local[doc_mask].astype(np.int32)
+        out.append((classes, y_nodes, _doc_mask_to_nodes(g, doc_mask)))
+    return out
+
+
+def _pad_member_params(params, c: int, c_max: int):
+    """Zero-pad the final layer's weight columns and ``_PAD_BIAS``-pad its
+    bias from ``c`` to ``c_max`` classes (host-side numpy)."""
+    params = jax.tree.map(np.asarray, params)
+    if c == c_max:
+        return params
+    last = dict(params["layers"][-1])
+    w, b = last["w"], last["b"]
+    last["w"] = np.concatenate([w, np.zeros((w.shape[0], c_max - c), w.dtype)], axis=1)
+    last["b"] = np.concatenate([b, np.full(c_max - c, _PAD_BIAS, b.dtype)])
+    out = dict(params)
+    out["layers"] = list(params["layers"][:-1]) + [last]
+    return out
+
+
+def _truncate_member_params(params, c: int):
+    """Inverse of :func:`_pad_member_params` for one stacked member."""
+    params = jax.tree.map(np.asarray, params)
+    last = dict(params["layers"][-1])
+    last["w"] = last["w"][:, :c]
+    last["b"] = last["b"][:c]
+    out = dict(params)
+    out["layers"] = list(params["layers"][:-1]) + [last]
+    return out
+
+
 def train_per_label(
     g: TextGraph,
     y_child: np.ndarray,
@@ -54,6 +99,7 @@ def train_per_label(
     verbose: int = 0,
     save_dir: Optional[str] = None,
     trainer_kwargs: Optional[dict] = None,
+    mesh=None,
 ):
     """Train one child-label classifier per parent class.
 
@@ -61,7 +107,21 @@ def train_per_label(
     The mapping holds, per parent class, the sorted global child labels in
     local-label order (the reference's LabelEncoder classes_,
     perlabel_amazon.py:105-107 / class_mapping.json).
+
+    ``mesh``: a 1D `jax.sharding.Mesh` — the ensemble then trains
+    **expert-parallel**: all members step together in one vmapped jitted
+    train step with parameters/labels/masks sharded over the mesh axis
+    (ragged child-class counts padded to the max; padded logits carry a
+    ``-1e9`` bias so they get exactly-zero gradients and the padded run is
+    bit-equivalent to the sequential one). The reference trains its 6
+    per-label GCNs strictly sequentially (perlabel_amazon.py:90-155).
     """
+    if mesh is not None:
+        return _train_per_label_ep(
+            g, y_child, y_parent, model_factory, mesh,
+            lr=lr, epochs=epochs, seed=seed, verbose=verbose, save_dir=save_dir,
+            trainer_kwargs=trainer_kwargs,
+        )
     trainer_kwargs = dict(trainer_kwargs or {})
     # ensemble members with the same child-class count share one jitted step
     trainer_kwargs.setdefault("step_cache", {})
@@ -71,15 +131,9 @@ def train_per_label(
 
     trainers: List[Trainer] = []
     mapping: Dict[int, List[int]] = {}
-    for c in range(n_parents):
-        doc_mask = y_parent == c
-        classes = np.unique(y_child[doc_mask])
+    members = _member_label_arrays(g, y_child, y_parent, n_parents)
+    for c, (classes, y_nodes, node_mask) in enumerate(members):
         mapping[c] = classes.tolist()
-        local = np.searchsorted(classes, y_child)  # global -> local (valid on class docs)
-        y_nodes = np.zeros(g.n_nodes, np.int32)
-        y_nodes[g.n_vocab :][doc_mask] = local[doc_mask].astype(np.int32)
-
-        node_mask = _doc_mask_to_nodes(g, doc_mask)
         g_c = dataclasses.replace(
             g,
             y=y_nodes,
@@ -105,6 +159,169 @@ def train_per_label(
         with open(os.path.join(save_dir, "class_mapping.json"), "w") as f:
             json.dump({str(k): v for k, v in mapping.items()}, f)
     return {"trainers": trainers, "mapping": mapping}
+
+
+def _train_per_label_ep(
+    g: TextGraph,
+    y_child: np.ndarray,
+    y_parent: np.ndarray,
+    model_factory: Callable[[int, int], object],
+    mesh,
+    *,
+    lr: float,
+    epochs: int,
+    seed: int,
+    verbose: int,
+    save_dir: Optional[str],
+    trainer_kwargs: Optional[dict],
+):
+    """Expert-parallel ensemble training: one vmapped train step for ALL
+    members, parameters/labels/masks sharded over the mesh axis.
+
+    Bit-equivalence with the sequential path: every member is initialized
+    exactly as its sequential Trainer would be (same seed -> same init key,
+    member-local shapes), then padded to ``C_max`` (zero weight columns,
+    ``-1e9`` bias). The padded logits underflow to probability 0, so their
+    gradients are exactly zero and the vmapped run computes the same
+    parameter trajectory as ``mesh=None`` (cf. test_perlabel_ep.py).
+    """
+    import optax
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.adjacency import NormAdj
+    from ..ops.features import NodeFeatures
+    from ..parallel.sharded import put_global
+    from ..train.metrics import masked_cross_entropy
+
+    trainer_kwargs = dict(trainer_kwargs or {})
+    use_pallas = bool(trainer_kwargs.pop("use_pallas", False))
+    y_child = np.asarray(y_child, np.int64)
+    y_parent = np.asarray(y_parent, np.int64)
+    n_parents = int(y_parent.max()) + 1
+    members = _member_label_arrays(g, y_child, y_parent, n_parents)
+    mapping = {c: cls.tolist() for c, (cls, _, _) in enumerate(members)}
+    c_list = [len(cls) for cls, _, _ in members]
+    c_max = max(c_list)
+
+    axis = mesh.axis_names[0]
+    m_pad = -(-n_parents // mesh.shape[axis]) * mesh.shape[axis]
+
+    key = jax.random.PRNGKey(seed)
+    key, init_key, base_key = jax.random.split(key, 3)
+    base_key = jax.random.fold_in(base_key, 1)  # sequential Trainers fit once
+
+    models = [model_factory(g.in_dim, c) for c in c_list]
+    padded = [
+        _pad_member_params(m.init(init_key), c, c_max)
+        for m, c in zip(models, c_list)
+    ]
+    train_masks = [np.asarray(g.train_mask) & nm for _, _, nm in members]
+    y_rows = [y for _, y, _ in members]
+    while len(padded) < m_pad:  # dummy members: all-false mask -> zero loss
+        padded.append(padded[0])
+        train_masks.append(np.zeros(g.n_nodes, bool))
+        y_rows.append(np.zeros(g.n_nodes, np.int32))
+
+    shard = lambda a: put_global(mesh, P(axis), np.asarray(a))
+    stacked = jax.tree.map(lambda *xs: shard(np.stack(xs)), *padded)
+    y_dev = shard(np.stack(y_rows))
+    mask_dev = shard(np.stack(train_masks))
+
+    # the aggregation itself is replicated (each expert owns its own SpMM);
+    # the EP axis shards *models*, not the graph — SURVEY.md §2.4 EP row
+    adj = NormAdj.from_graph(g, use_pallas=use_pallas)
+    feats = NodeFeatures.from_graph(g)
+    model_pad = models[int(np.argmax(c_list))]  # apply() reads shapes from params
+
+    opt = optax.amsgrad(lr)
+    opt_state = jax.jit(jax.vmap(opt.init))(stacked)
+
+    @jax.jit
+    def ep_step(stacked, opt_state, base_key, epoch, adj, feats, y_s, m_s):
+        rng = jax.random.fold_in(base_key, epoch)
+
+        def one(p, y, mask):
+            def loss_fn(p_):
+                logits = model_pad.apply(p_, adj, feats, train=True, rng=rng)
+                return masked_cross_entropy(logits, y, mask)
+
+            return jax.value_and_grad(loss_fn)(p)
+
+        losses, grads = jax.vmap(one)(stacked, y_s, m_s)
+
+        def upd(p, g_, s):
+            u, s2 = opt.update(g_, s, p)
+            return optax.apply_updates(p, u), s2
+
+        stacked, opt_state = jax.vmap(upd)(stacked, grads, opt_state)
+        return stacked, opt_state, epoch + 1, losses
+
+    epoch_dev = jnp.zeros((), jnp.int32)
+    losses = None
+    for epoch in range(epochs):
+        stacked, opt_state, epoch_dev, losses = ep_step(
+            stacked, opt_state, base_key, epoch_dev, adj, feats, y_dev, mask_dev
+        )
+        if verbose > 0 and (epoch + 1) % 50 == 0:
+            print(f"[EP {epoch + 1}] member losses: {np.asarray(losses)[:n_parents]}")
+
+    host = jax.device_get(stacked)
+    trainers: List[Trainer] = []
+    for i, (model, c) in enumerate(zip(models, c_list)):
+        member = jax.tree.map(lambda a: a[i], host)
+        t = Trainer(model, lr=lr, seed=seed, use_pallas=use_pallas, **trainer_kwargs)
+        t.params = jax.tree.map(jnp.asarray, _truncate_member_params(member, c))
+        trainers.append(t)
+        if save_dir is not None:
+            from ..train.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                os.path.join(save_dir, f"lvl2-cat{i}"),
+                t.params,
+                meta={"parent": i, "classes": mapping[i]},
+            )
+    if save_dir is not None:
+        with open(os.path.join(save_dir, "class_mapping.json"), "w") as f:
+            json.dump({str(k): v for k, v in mapping.items()}, f)
+    return {"trainers": trainers, "mapping": mapping}
+
+
+def _batched_member_preds(
+    g_eval: TextGraph, trainers: List[Trainer], c_list: List[int]
+) -> Optional[np.ndarray]:
+    """One jitted pass computing every member's doc predictions: lax.map over
+    C_max-padded stacked params (full [m, N, C] logits never materialize).
+    Returns [m, n_docs] int32, or None if param structures don't stack."""
+    defs = {jax.tree_util.tree_structure(t.params) for t in trainers}
+    if len(defs) != 1:
+        return None
+    c_max = max(c_list)
+    padded = [
+        _pad_member_params(t.params, c, c_max) for t, c in zip(trainers, c_list)
+    ]
+    shapes = {
+        tuple(np.shape(l) for l in jax.tree_util.tree_leaves(p)) for p in padded
+    }
+    if len(shapes) != 1:
+        return None
+    stacked = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *padded)
+    adj, feats = trainers[0].prepare(g_eval)
+    model = trainers[0].model
+    n_vocab = g_eval.n_vocab
+    c_vec = jnp.asarray(c_list, jnp.int32)
+
+    @jax.jit
+    def all_preds(stacked, c_vec, adj, feats):
+        def one(args):
+            p, c = args
+            logits = model.apply(p, adj, feats, train=False)[n_vocab:]
+            col = jnp.arange(logits.shape[1], dtype=jnp.int32)[None, :]
+            logits = jnp.where(col < c, logits, -jnp.inf)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        return jax.lax.map(one, (stacked, c_vec))
+
+    return np.asarray(all_preds(stacked, c_vec, adj, feats))
 
 
 def eval_per_label(
@@ -138,12 +355,20 @@ def eval_per_label(
     g_eval = dataclasses.replace(g, y=y_nodes)
 
     predictions = np.full(len(y_child), -1, np.int64)
+    # all members' doc predictions in ONE jitted pass (the reference — and
+    # round 1 — ran one full-graph forward per parent class); falls back to
+    # the per-member loop only for heterogeneously-shaped ensembles
+    c_list = [len(mapping[c]) for c in range(len(trainers))]
+    preds_all = _batched_member_preds(g_eval, trainers, c_list)
     for c, trainer in enumerate(trainers):
         sel = (router == c) & test_docs
         if not sel.any():
             continue
-        logits = trainer.predict_logits(g_eval)[g.n_vocab :]
-        local_pred = np.asarray(jnp.argmax(logits, axis=-1))[sel]
+        if preds_all is not None:
+            local_pred = preds_all[c][sel]
+        else:
+            logits = trainer.predict_logits(g_eval)[g.n_vocab :]
+            local_pred = np.asarray(jnp.argmax(logits, axis=-1))[sel]
         predictions[sel] = np.asarray(mapping[c], np.int64)[local_pred]
 
     yt = y_child[test_docs]
