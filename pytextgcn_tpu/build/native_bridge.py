@@ -27,20 +27,114 @@ _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 
 
-def _build() -> None:
+# sanitized build modes (SURVEY.md §5 race-detection row): the C++ counting
+# kernel is exactly the kind of threaded shared-state code ASan/UBSan/TSan
+# exist for; tests/test_sanitizers.py runs the golden/fuzz checks against
+# these builds in subprocesses with the runtime preloaded
+_SAN_FLAGS = {
+    None: ["-O3", "-march=native"],
+    "asan": ["-O1", "-g", "-fsanitize=address,undefined", "-fno-sanitize-recover=all"],
+    "tsan": ["-O1", "-g", "-fsanitize=thread"],
+}
+
+
+def _san_so(sanitize: Optional[str]) -> str:
+    suffix = "" if sanitize is None else f"_{sanitize}"
+    return os.path.join(_HERE, "native", f"libtgnative{suffix}.so")
+
+
+def _build(sanitize: Optional[str] = None) -> str:
+    out = _san_so(sanitize)
     cmd = [
         "g++",
-        "-O3",
-        "-march=native",
+        *_SAN_FLAGS[sanitize],
         "-std=c++17",
         "-fPIC",
         "-shared",
         "-pthread",
         *_SRCS,
         "-o",
-        _SO,
+        out,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+def build_sanitized(sanitize: str) -> str:
+    """Build (if stale) and return the path of a sanitizer-instrumented
+    variant of the native library ('asan' = address+UB, 'tsan' = thread)."""
+    out = _san_so(sanitize)
+    with _LOCK:
+        stale = not os.path.exists(out) or any(
+            os.path.getmtime(out) < os.path.getmtime(s) for s in _SRCS
+        )
+        if stale:
+            _build(sanitize)
+    return out
+
+
+def sanitizer_runtime(sanitize: str) -> str:
+    """Path of the sanitizer runtime to LD_PRELOAD into the host process."""
+    name = {"asan": "libasan.so", "tsan": "libtsan.so"}[sanitize]
+    out = subprocess.run(
+        ["g++", f"-print-file-name={name}"], check=True, capture_output=True, text=True
+    )
+    return out.stdout.strip()
+
+
+def declare_api(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Attach the C ABI signatures to a loaded library handle."""
+    lib.tg_sliding_window.restype = ctypes.c_uint64
+    lib.tg_sliding_window.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.tg_word_word_edges.restype = ctypes.c_int32
+    lib.tg_word_word_edges.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    lib.tg_free.restype = None
+    lib.tg_free.argtypes = [ctypes.c_void_p]
+
+    lib.tg_fit_counts.restype = ctypes.c_int64
+    lib.tg_fit_counts.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.tg_encode.restype = ctypes.c_int64
+    lib.tg_encode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+    ]
+    return lib
 
 
 def load_native() -> ctypes.CDLL:
@@ -54,60 +148,8 @@ def load_native() -> ctypes.CDLL:
         )
         if stale:
             _build()
-        lib = ctypes.CDLL(_SO)
-
-        lib.tg_sliding_window.restype = ctypes.c_uint64
-        lib.tg_sliding_window.argtypes = [
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_uint32),
-        ]
-        lib.tg_word_word_edges.restype = ctypes.c_int32
-        lib.tg_word_word_edges.argtypes = [
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_uint64),
-        ]
-        lib.tg_free.restype = None
-        lib.tg_free.argtypes = [ctypes.c_void_p]
-
-        lib.tg_fit_counts.restype = ctypes.c_int64
-        lib.tg_fit_counts.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64,
-            ctypes.c_char_p,
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_char_p),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.tg_encode.restype = ctypes.c_int64
-        lib.tg_encode.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64,
-            ctypes.c_char_p,
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
-        ]
-        _LIB = lib
-        return lib
+        _LIB = declare_api(ctypes.CDLL(_SO))
+        return _LIB
 
 
 def _pack_docs(docs):
