@@ -21,7 +21,11 @@ def main(argv=None):
     p.add_argument("--n-classes", type=int, default=10)
     p.add_argument("--window-size", type=int, default=20)
     p.add_argument("--min-df", type=int, default=1)
-    p.add_argument("--backends", nargs="+", default=["native", "device"])
+    p.add_argument(
+        "--backends", nargs="+", default=["native", "device", "sharded"],
+        help="counting backends to time; 'sharded' distributes documents "
+        "over all local devices (word_word_edges_sharded)",
+    )
     args = p.parse_args(argv)
 
     docs, labels = synthetic_corpus(

@@ -221,24 +221,13 @@ def _length_buckets(lengths: np.ndarray, min_len: int):
     return caps
 
 
-def word_word_edges_device(
-    tokens: np.ndarray,
-    n_vocab: int,
-    window_size: int = 20,
-    chunk_pair_budget: int = 1 << 24,
-) -> Tuple[np.ndarray, np.ndarray, int]:
-    """Production counting path: JAX on-device, bucketed + chunked.
-
-    tokens: int32 [n_docs, seq_len] padded with -1 (contiguous suffix).
-    Returns (coo [E,2] int32, weights [E] float32, n_windows).
-    """
-    tokens = np.ascontiguousarray(tokens, dtype=np.int32)
+def _iter_chunks(tokens: np.ndarray, window_size: int, chunk_pair_budget: int):
+    """Yield fixed-shape, length-bucketed document chunks ``(chunk, n_real)``
+    (padded with filler rows of -1) — the host-side scheduling shared by the
+    single-device and document-sharded counting paths."""
     n_docs, seq_len = tokens.shape
     lengths = (tokens != -1).sum(axis=1)
     n_pairs = window_size * (window_size + 1) // 2
-
-    parts = []
-    total_windows = 0
     order = np.argsort(lengths, kind="stable")
     caps = _length_buckets(lengths, window_size)
     lo_len = -1
@@ -260,25 +249,87 @@ def word_word_edges_device(
             chunk = np.full((docs_per_chunk, s), -1, dtype=np.int32)
             ncols = min(s, seq_len)
             chunk[: idx.size, :ncols] = tokens[idx][:, :ncols]
-            ua, ub, cnt, n_unique, n_win = _pair_count_chunk(
-                jnp.asarray(chunk), window_size
+            yield chunk, idx.size
+
+
+def _finalize_counted(pending, n_vocab: int):
+    """Materialize per-chunk device results, merge pair lists, run PMI."""
+    parts = []
+    total_windows = 0
+    for (ua, ub, cnt, n_unique, n_win), filler in pending:
+        n_unique = int(n_unique)
+        # every row — real or filler — counts its unconditional j==0
+        # window (graphbuilder.pyx:98-101); subtract the filler rows'.
+        total_windows += int(n_win) - filler
+        parts.append(
+            (
+                np.asarray(ua[:n_unique]),
+                np.asarray(ub[:n_unique]),
+                np.asarray(cnt[:n_unique]),
             )
-            n_unique = int(n_unique)
-            # every row — real or filler — counts its unconditional j==0
-            # window (graphbuilder.pyx:98-101); subtract the filler rows'.
-            total_windows += int(n_win) - (docs_per_chunk - idx.size)
-            parts.append(
-                (
-                    np.asarray(ua[:n_unique]),
-                    np.asarray(ub[:n_unique]),
-                    np.asarray(cnt[:n_unique]),
-                )
-            )
+        )
     if not parts:
         return np.zeros((0, 2), np.int32), np.zeros(0, np.float32), 0
     a, b, c = _merge_pair_lists(parts)
     coo, wgt = pmi_edges_from_pairs(a, b, c, n_vocab, total_windows)
     return coo, wgt, total_windows
+
+
+def word_word_edges_device(
+    tokens: np.ndarray,
+    n_vocab: int,
+    window_size: int = 20,
+    chunk_pair_budget: int = 1 << 24,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Production counting path: JAX on-device, bucketed + chunked.
+
+    tokens: int32 [n_docs, seq_len] padded with -1 (contiguous suffix).
+    Returns (coo [E,2] int32, weights [E] float32, n_windows).
+    """
+    tokens = np.ascontiguousarray(tokens, dtype=np.int32)
+    pending = [
+        (_pair_count_chunk(jnp.asarray(chunk), window_size), chunk.shape[0] - n_real)
+        for chunk, n_real in _iter_chunks(tokens, window_size, chunk_pair_budget)
+    ]
+    return _finalize_counted(pending, n_vocab)
+
+
+def word_word_edges_sharded(
+    tokens: np.ndarray,
+    n_vocab: int,
+    window_size: int = 20,
+    mesh=None,
+    chunk_pair_budget: int = 1 << 24,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Document-sharded distributed window counting (SURVEY.md §5(a)).
+
+    Windows never cross document boundaries (graphbuilder.pyx:96: window
+    starts live within one document's token row), so sharding documents
+    across devices is EXACT: each device of the mesh counts the windows of
+    its contiguous doc shard, per-shard unique-pair lists are merged on the
+    host (the same associative merge the chunked single-device path uses),
+    and window totals are summed. All per-chunk dispatches are issued
+    asynchronously before any result is pulled, so the devices count
+    concurrently.
+    """
+    import jax as _jax
+
+    devices = (
+        list(mesh.devices.flat) if mesh is not None else _jax.local_devices()
+    )
+    tokens = np.ascontiguousarray(tokens, dtype=np.int32)
+    n_docs = tokens.shape[0]
+    bounds = np.linspace(0, n_docs, len(devices) + 1).astype(np.int64)
+    pending = []
+    for dev, lo, hi in zip(devices, bounds[:-1], bounds[1:]):
+        if hi <= lo:
+            continue
+        for chunk, n_real in _iter_chunks(
+            tokens[lo:hi], window_size, chunk_pair_budget
+        ):
+            out = _pair_count_chunk(_jax.device_put(chunk, dev), window_size)
+            pending.append((out, chunk.shape[0] - n_real))
+    return _finalize_counted(pending, n_vocab)
 
 
 def word_word_edges(
@@ -289,8 +340,9 @@ def word_word_edges(
     n_jobs: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Compute word-word PMI edges. ``backend``: 'native' (multithreaded C++
-    host kernel), 'device' (JAX sort/segment ops), or 'oracle' (python-loop
-    clone; tiny inputs only). 'auto' prefers native — graph construction is
+    host kernel), 'device' (JAX sort/segment ops), 'sharded' (document-
+    sharded over all local devices — see :func:`word_word_edges_sharded`),
+    or 'oracle' (python-loop clone; tiny inputs only). 'auto' prefers native — graph construction is
     one-time host preprocessing and the C++ kernel avoids device round-trips
     (which are very expensive on tunneled TPU backends) — falling back to the
     device path if the toolchain is unavailable.
@@ -307,6 +359,8 @@ def word_word_edges(
             return word_word_edges_device(tokens, n_vocab, window_size)
     if backend == "device":
         return word_word_edges_device(tokens, n_vocab, window_size)
+    if backend == "sharded":
+        return word_word_edges_sharded(tokens, n_vocab, window_size)
     if backend == "native":
         from .native_bridge import native_word_word_edges
 

@@ -65,7 +65,7 @@ def _edges_to_dict(coo, w):
     return {(int(a), int(b)): float(x) for (a, b), x in zip(coo, w)}
 
 
-@pytest.mark.parametrize("backend", ["oracle", "native", "device"])
+@pytest.mark.parametrize("backend", ["oracle", "native", "device", "sharded"])
 def test_word_word_edges_backends_agree(backend):
     coo, w, n_windows = word_word_edges(GOLDEN_X, 6, 3, backend=backend)
     ref_coo, ref_w, ref_nw = word_word_edges(GOLDEN_X, 6, 3, backend="oracle")
@@ -101,7 +101,31 @@ def test_pmi_analytic_values():
     np.testing.assert_allclose(d[(0, 1)], np.log(2.0), rtol=1e-6)
 
 
-@pytest.mark.parametrize("backend", ["native", "device"])
+def test_doc_sharded_counting_matches_native_at_scale():
+    """Document-sharded counting over the 8-device virtual mesh must equal
+    the C++ kernel bitwise (SURVEY.md §5(a): windows never cross document
+    boundaries, so doc sharding is exact)."""
+    import jax
+
+    from pytextgcn_tpu.build.windows import word_word_edges_sharded
+    from pytextgcn_tpu.parallel import make_mesh
+
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(3)
+    n_docs, seq_len, n_vocab, window = 3000, 48, 500, 10
+    lengths = rng.integers(0, seq_len + 1, size=n_docs)
+    X = np.full((n_docs, seq_len), -1, dtype=np.int32)
+    for i, L in enumerate(lengths):
+        X[i, :L] = rng.integers(0, n_vocab, size=L)
+
+    ref = word_word_edges(X, n_vocab, window, backend="native")
+    got = word_word_edges_sharded(X, n_vocab, window, mesh=make_mesh(8))
+    assert got[2] == ref[2]
+    np.testing.assert_array_equal(got[0], ref[0])
+    np.testing.assert_array_equal(got[1], ref[1])
+
+
+@pytest.mark.parametrize("backend", ["native", "device", "sharded"])
 def test_random_corpus_backends_agree(backend):
     """Fuzz: random padded corpora, all backends agree bitwise."""
     rng = np.random.default_rng(0)
