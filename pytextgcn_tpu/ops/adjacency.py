@@ -45,15 +45,29 @@ class NormAdj:
 
     @staticmethod
     def from_graph(
-        g: TextGraph, use_pallas: bool = False, pallas_dtype: str = "float32"
+        g: TextGraph,
+        use_pallas: bool = False,
+        pallas_dtype: str = "float32",
+        hybrid_k=None,
     ) -> "NormAdj":
+        """``hybrid_k``: enable the dense-hot/sparse-cold decomposition
+        (ops/hybrid.py) with a hot set of that size ('auto' = cost-model
+        choice, may fall back to the requested pure path). Implies the
+        Pallas kernel for the cold residual."""
         # normalization on host (numpy): one-time preprocessing; keeps all
         # device work inside jitted hot paths
         src = np.asarray(g.edge_src)
         dst = np.asarray(g.edge_dst)
         norm_w, self_w = gcn_normalize_np(src, dst, g.edge_w, g.n_nodes)
         plan = None
-        if use_pallas:
+        if hybrid_k is not None:
+            from .hybrid import build_hybrid_plan
+
+            plan = build_hybrid_plan(
+                src, dst, norm_w, g.n_nodes, hot_k=hybrid_k,
+                compute_dtype=pallas_dtype,
+            )
+        if plan is None and (use_pallas or hybrid_k is not None):
             from .spmm_pallas import build_plan_from_arrays
 
             plan = build_plan_from_arrays(

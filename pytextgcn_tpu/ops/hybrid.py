@@ -1,0 +1,212 @@
+"""Hybrid dense-hot / sparse-cold SpMM decomposition.
+
+The per-epoch SpMM is gather-bound on TPU: every edge fetches a random
+H-row of ``x`` from HBM (RESULTS.md round-1 analysis — the XLA row gather is
+~60% of the SpMM). Text graphs are Zipfian, and that is exploitable
+structure: a few thousand *hot* nodes (frequent words) are an endpoint of
+most edges. Splitting the adjacency at a hot set H of size K:
+
+    A_hat = [A_hh A_hc]   →  out  = D @ x[hot]                (src ∈ H)
+            [A_ch A_cc]      out[hot] += Dᵀ @ x - A_hh @ x[hot] (dst ∈ H, src ∉ H)
+                             out += pallas(A_cc, x)             (both cold)
+                             out += self_w ⊙ x
+
+where ``D[n, k] = Σ w(hot_k → n)`` is ONE dense ``N x K`` matrix that — by
+the symmetry of the normalized adjacency (w(i→j) == w(j→i), both directions
+stored; text2graph.py:162-171) — also serves the transposed role, and
+``A_hh = D[hot]`` (K x K) removes the double-counted hot-hot block.
+
+Every hot edge thus rides the MXU in large dense matmuls at streaming HBM
+bandwidth instead of a per-edge random gather; on a Zipf-1.05 corpus built
+through Text2Graph, K=2048 leaves only ~12% of edges on the gather path
+(K=4096: ~5%). This replaces what torch-scatter does for the reference
+(SURVEY.md §2.3 item 2) with a decomposition only a dense-matmul machine
+would choose.
+
+Cold-cold residual edges run in the existing Pallas tile kernel
+(ops/spmm_pallas.py). Everything here is plain XLA, so autodiff handles the
+dense parts (transposed reads of D in backward) and the residual brings its
+custom VJP.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# cost-model constants (refined against real-chip measurements; see
+# RESULTS.md "hybrid SpMM" section): HBM streaming bandwidth, effective MXU
+# f32-HIGHEST throughput, per-edge cost of the gather+tile residual path
+_HBM_BPS = 6.0e11
+_MXU_F32_HIGHEST = 3.0e13
+_EDGE_NS = 5.4
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["hot_ids", "d_full", "a_hh", "res_fwd", "res_bwd"],
+    meta_fields=["n_nodes", "k", "compute_dtype"],
+)
+@dataclasses.dataclass
+class HybridPlan:
+    """Hot-set decomposition of a normalized adjacency (minus self-loops).
+
+    hot_ids: int32 [K] node ids of the hot set (descending degree).
+    d_full:  [N, K] dense ``Σ w(hot_k → n)`` (f32, or bf16 in fast mode).
+    a_hh:    [K, K] hot-hot block (= d_full[hot_ids]).
+    res_fwd/res_bwd: Pallas tile plans over the cold-cold residual edges
+             (None when the residual is empty).
+    """
+
+    hot_ids: jax.Array
+    d_full: jax.Array
+    a_hh: jax.Array
+    res_fwd: Optional[object]
+    res_bwd: Optional[object]
+    n_nodes: int
+    k: int
+    compute_dtype: str = "float32"
+
+
+def _predict_cost_ns(n_nodes: int, n_edges: int, resid_edges: int, k: int, h: int,
+                     itemsize: int) -> float:
+    """Rough per-SpMM cost of a K-hot decomposition (see module docstring)."""
+    dense_bytes = (n_nodes * k + k * k) * itemsize  # D read twice ~ streamed
+    dense_flops = 2 * (2 * n_nodes * k + k * k) * h
+    mxu = _MXU_F32_HIGHEST if itemsize == 4 else 6 * _MXU_F32_HIGHEST
+    return (
+        2 * dense_bytes / _HBM_BPS * 1e9
+        + dense_flops / mxu * 1e9
+        + resid_edges * _EDGE_NS
+    )
+
+
+def choose_hot_k(src, n_nodes: int, h: int = 128, itemsize: int = 4,
+                 candidates=(0, 512, 1024, 2048, 4096, 8192)) -> int:
+    """Pick K minimizing the modeled SpMM cost (0 = hybrid not worth it)."""
+    src = np.asarray(src)
+    deg = np.bincount(src, minlength=n_nodes)
+    order = np.argsort(-deg, kind="stable")
+    cum = np.concatenate([[0], np.cumsum(deg[order])])
+    e = len(src)
+    best_k, best_t = 0, e * _EDGE_NS
+    for k in candidates:
+        if k == 0 or k >= n_nodes:
+            continue
+        # d+w2 residual upper bound: 1 - P(src hot) - P(dst hot, src cold);
+        # by symmetry estimate P(both cold) ~ (1 - cov)^2 is optimistic for
+        # correlated endpoints, so use the measurable src-side bound times
+        # the dst-side conditional from the same marginal
+        cov = cum[k] / max(e, 1)
+        resid = e * max(1.0 - cov, 0.0) ** 2
+        t = _predict_cost_ns(n_nodes, e, resid, k, h, itemsize)
+        if t < best_t:
+            best_k, best_t = k, t
+    return best_k
+
+
+def build_hybrid_plan(
+    src,
+    dst,
+    w,
+    n_nodes: int,
+    hot_k="auto",
+    compute_dtype: str = "float32",
+    h_hint: int = 128,
+) -> Optional[HybridPlan]:
+    """Host-side construction. ``hot_k``: int, or 'auto' to pick by cost
+    model (returns None if the model says pure-Pallas wins)."""
+    from scipy import sparse as sp
+
+    from .spmm_pallas import _build_tile_plan
+
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    w = np.asarray(w, np.float32)
+    itemsize = jnp.dtype(compute_dtype).itemsize
+    if hot_k == "auto":
+        hot_k = choose_hot_k(src, n_nodes, h=h_hint, itemsize=itemsize)
+        if hot_k == 0:
+            return None
+    k = int(min(hot_k, n_nodes))
+    if k >= 128:
+        k = (k // 128) * 128  # MXU-aligned when the graph allows it
+    k = max(1, k)
+
+    deg = np.bincount(src, minlength=n_nodes)
+    order = np.argsort(-deg, kind="stable")
+    hot_ids = np.sort(order[:k]).astype(np.int32)  # sorted: nicer gathers
+    hot_rank = np.full(n_nodes, -1, np.int64)
+    hot_rank[hot_ids] = np.arange(k)
+
+    src_hot = hot_rank[src] >= 0
+    dst_hot = hot_rank[dst] >= 0
+
+    sel = src_hot
+    d_full = np.asarray(
+        sp.coo_matrix(
+            (w[sel], (dst[sel], hot_rank[src[sel]])), shape=(n_nodes, k)
+        ).todense(),
+        dtype=np.float32,
+    )
+    a_hh = d_full[hot_ids]
+
+    rsel = ~src_hot & ~dst_hot
+    res_fwd = res_bwd = None
+    if rsel.any():
+        res_fwd = _build_tile_plan(src[rsel], dst[rsel], w[rsel], n_nodes)
+        res_bwd = _build_tile_plan(dst[rsel], src[rsel], w[rsel], n_nodes)
+
+    cd = jnp.dtype(compute_dtype)
+    return HybridPlan(
+        hot_ids=jnp.asarray(hot_ids),
+        d_full=jnp.asarray(d_full, cd),
+        a_hh=jnp.asarray(a_hh, cd),
+        res_fwd=res_fwd,
+        res_bwd=res_bwd,
+        n_nodes=n_nodes,
+        k=k,
+        compute_dtype=compute_dtype,
+    )
+
+
+def spmm_hybrid(plan: HybridPlan, x: jax.Array) -> jax.Array:
+    """``(A_hat - diag(self_w)) @ x`` via the hot decomposition."""
+    cd = jnp.dtype(plan.compute_dtype)
+    # parity mode keeps f32 operands; the MXU truncates f32 to bf16 passes
+    # unless HIGHEST is requested (see spmm_pallas._spmm_kernel)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if cd == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    xc = x.astype(cd)
+    x_hot = jnp.take(xc, plan.hot_ids, axis=0)  # (K, H) — K-row gather only
+
+    out = jnp.dot(
+        plan.d_full, x_hot, preferred_element_type=jnp.float32, precision=precision
+    )
+    # dst ∈ hot from ALL sources: Dᵀ @ x (contraction over nodes; XLA reads
+    # D in its stored layout), minus the double-counted hot-hot block
+    hot_in = jax.lax.dot_general(
+        plan.d_full,
+        xc,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    hot_in = hot_in - jnp.dot(
+        plan.a_hh, x_hot, preferred_element_type=jnp.float32, precision=precision
+    )
+    out = out.at[plan.hot_ids].add(hot_in)
+
+    if plan.res_fwd is not None:
+        from .spmm_pallas import _spmm_pallas
+
+        out = out + _spmm_pallas(x, plan.res_fwd, plan.res_bwd, cd.type)
+    return out

@@ -36,6 +36,10 @@ def spmm(adj, x: jax.Array) -> jax.Array:
     if isinstance(adj, ShardedAdj):
         return spmm_sharded(adj, x)
     if adj.plan is not None:
+        from .hybrid import HybridPlan, spmm_hybrid
+
+        if isinstance(adj.plan, HybridPlan):
+            return spmm_hybrid(adj.plan, x) + adj.self_w[:, None] * x
         from .spmm_pallas import spmm_pallas
 
         return spmm_pallas(adj.plan, x) + adj.self_w[:, None] * x

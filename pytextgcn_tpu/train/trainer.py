@@ -34,6 +34,7 @@ class Trainer:
         use_pallas: bool = False,
         mesh=None,
         step_cache: Optional[dict] = None,
+        hybrid_k=None,
     ):
         """``mesh``: a `jax.sharding.Mesh` with a 'graph' axis — training
         then runs with the aggregation edge-partitioned across the mesh
@@ -51,6 +52,7 @@ class Trainer:
         # identity (two structurally-equal custom optimizers never share)
         self._opt_desc = ("amsgrad", lr) if optimizer is None else ("custom", id(optimizer))
         self.use_pallas = use_pallas
+        self.hybrid_k = hybrid_k  # dense-hot SpMM decomposition (ops/hybrid.py)
         self.mesh = mesh
         self.step_cache = step_cache
         self.params = None
@@ -122,7 +124,9 @@ class Trainer:
 
                 self._adj = build_sharded_adj(g, self.mesh, use_pallas=self.use_pallas)
             else:
-                self._adj = NormAdj.from_graph(g, use_pallas=self.use_pallas)
+                self._adj = NormAdj.from_graph(
+                    g, use_pallas=self.use_pallas, hybrid_k=self.hybrid_k
+                )
             self._adj_edge_src = g.edge_src
             self._adj_edge_w = g.edge_w
             self._adj_n_nodes = g.n_nodes
