@@ -31,8 +31,11 @@ def spmm_segment(adj: NormAdj, x: jax.Array) -> jax.Array:
 
 
 def spmm(adj, x: jax.Array) -> jax.Array:
+    from ..parallel.halo import HaloAdj, spmm_halo
     from ..parallel.sharded import ShardedAdj, spmm_sharded
 
+    if isinstance(adj, HaloAdj):
+        return spmm_halo(adj, x)
     if isinstance(adj, ShardedAdj):
         return spmm_sharded(adj, x)
     if adj.plan is not None:

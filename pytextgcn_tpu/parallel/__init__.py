@@ -1,3 +1,4 @@
+from .halo import HaloAdj, build_halo_adj, spmm_halo
 from .multihost import global_mesh, host_local_mesh, init_distributed
 from .sharded import (
     ShardedAdj,
@@ -8,6 +9,9 @@ from .sharded import (
 )
 
 __all__ = [
+    "HaloAdj",
+    "build_halo_adj",
+    "spmm_halo",
     "ShardedAdj",
     "build_sharded_adj",
     "make_mesh",

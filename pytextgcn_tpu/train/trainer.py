@@ -35,6 +35,7 @@ class Trainer:
         mesh=None,
         step_cache: Optional[dict] = None,
         hybrid_k=None,
+        halo: bool = False,
     ):
         """``mesh``: a `jax.sharding.Mesh` with a 'graph' axis — training
         then runs with the aggregation edge-partitioned across the mesh
@@ -53,6 +54,7 @@ class Trainer:
         self._opt_desc = ("amsgrad", lr) if optimizer is None else ("custom", id(optimizer))
         self.use_pallas = use_pallas
         self.hybrid_k = hybrid_k  # dense-hot SpMM decomposition (ops/hybrid.py)
+        self.halo = halo  # with mesh: boundary-only exchange, sharded activations
         self.mesh = mesh
         self.step_cache = step_cache
         self.params = None
@@ -119,7 +121,11 @@ class Trainer:
             and getattr(self, "_adj_n_nodes", None) == g.n_nodes
         )
         if not cached:
-            if self.mesh is not None:
+            if self.mesh is not None and self.halo:
+                from ..parallel.halo import build_halo_adj
+
+                self._adj = build_halo_adj(g, self.mesh)
+            elif self.mesh is not None:
                 from ..parallel.sharded import build_sharded_adj
 
                 self._adj = build_sharded_adj(g, self.mesh, use_pallas=self.use_pallas)
