@@ -59,6 +59,30 @@ def load_corpus(cfg: ExperimentConfig, levels=None):
             for (y_tr, y_va, y_te) in per_col
         ]
         return docs, labels, test_idx, val_idx
+    if cfg.dataset in ("synthetic-amazon", "synthetic-dbpedia"):
+        # protocol-scale stand-in: reference class counts / doc counts /
+        # Zipf word statistics, reference split semantics (see
+        # pytextgcn_tpu.data.synthetic.protocol_corpus)
+        from pytextgcn_tpu.data.synthetic import protocol_corpus
+
+        protocol = cfg.dataset.split("-")[1]
+        n_docs = int(getattr(cfg, "n_docs", 0)) or (
+            50_000 if protocol == "amazon" else 60_000
+        )
+        docs, level_labels, n_train, n_val = protocol_corpus(protocol, n_docs=n_docs)
+        n = len(docs)
+        if protocol == "amazon":
+            # flat_amazon.py:51-63 — val is a random 10% of train, test is
+            # the appended test block
+            val_idx = rng.choice(n_train, int(cfg.train.val_split * n_train), replace=False)
+            test_idx = np.arange(n_train, n)
+        else:
+            # flat_dbpedia.py:41-60 — explicit val block between train/test
+            val_idx = np.arange(n_train, n_train + n_val)
+            test_idx = np.arange(n_train + n_val, n)
+        if levels and len(levels) > 1:
+            return docs, [np.asarray(l) for l in level_labels], test_idx, val_idx
+        return docs, [np.asarray(level_labels[-1])], test_idx, val_idx
     # synthetic fallback (2-level hierarchy)
     docs, child, parent = synthetic_corpus(
         n_docs=400, n_classes=6, n_parents=3, seed=cfg.train.seed

@@ -19,7 +19,7 @@ import numpy as np
 
 from common import load_corpus
 from pytextgcn_tpu import Text2Graph
-from pytextgcn_tpu.config import ExperimentConfig, make_model, parse_config
+from pytextgcn_tpu.config import ExperimentConfig, hybrid_k_arg, make_model, parse_config
 from pytextgcn_tpu.train import Trainer
 from pytextgcn_tpu.train.results import append_result
 
@@ -54,7 +54,8 @@ def main(argv=None):
 
     model = make_model(cfg.model, g.in_dim, n_classes)
     trainer = Trainer(
-        model, lr=cfg.train.lr, seed=cfg.train.seed, use_pallas=cfg.train.use_pallas
+        model, lr=cfg.train.lr, seed=cfg.train.seed,
+        use_pallas=cfg.train.use_pallas, hybrid_k=hybrid_k_arg(cfg.train),
     )
     trainer.fit(
         g,

@@ -1,0 +1,160 @@
+"""Protocol-scale parity: JAX framework vs an independent torch trainer.
+
+The reference's published numbers (results.csv:2-16, results_dbpedia.csv:2-7)
+cannot be reproduced directly — its datasets are git-LFS-absent — so this
+driver produces the substitute evidence VERDICT round 1 asked for: the full
+flat protocol of flat_amazon.py:20-35 / flat_dbpedia.py:18-34 (class counts,
+split semantics, every hyperparameter, seeds 42-44) on a protocol-scale
+synthetic corpus, run side by side through
+
+  * this framework's driver path (Text2Graph -> Trainer, JAX), and
+  * an independent plain-torch implementation of the reference formulation
+    (experiments/torch_reference.py) on the *same* graph,
+
+with both result sets appended in the reference's results.csv schema. The
+graph is built once per protocol; per-seed masks are redrawn exactly like
+the reference drivers (amazon: random 10% val of train, flat_amazon.py:56;
+dbpedia: fixed explicit blocks).
+
+    python experiments/protocol_parity.py --protocol amazon \
+        --seeds 42 43 44 --out docs/protocol_results.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pytextgcn_tpu import Text2Graph
+from pytextgcn_tpu.data.synthetic import protocol_corpus
+from pytextgcn_tpu.models import GCN
+from pytextgcn_tpu.train import Trainer
+from pytextgcn_tpu.train.results import append_result
+
+# the flat protocols, verbatim (flat_amazon.py:20-35; flat_dbpedia.py:18-34)
+PROTOCOLS = {
+    "amazon": dict(
+        min_df=5, max_df=0.7, window_size=20, max_length=None,
+        epochs=500, lr=0.05, dropout=0.7, n_hidden=100,
+    ),
+    "dbpedia": dict(
+        min_df=100, max_df=0.4, window_size=5, max_length=15,
+        epochs=100, lr=0.05, dropout=0.5, n_hidden=32,
+    ),
+}
+
+
+def build_graph(protocol: str, n_docs: int, verbose: int = 1):
+    p = PROTOCOLS[protocol]
+    docs, level_labels, n_train, n_val = protocol_corpus(protocol, n_docs=n_docs)
+    y = np.asarray(level_labels[-1])
+    t0 = time.time()
+    t2g = Text2Graph(
+        min_df=p["min_df"], max_df=p["max_df"], window_size=p["window_size"],
+        max_length=p["max_length"], rm_stopwords=False, verbose=verbose,
+    )
+    # masks here are placeholders; remask() applies the per-seed split
+    test_idx = np.arange(n_train + n_val, len(docs))
+    g = t2g.fit_transform(docs, y, test_idx=test_idx, val_idx=np.arange(0))
+    if verbose:
+        print(
+            f"[{protocol}] graph: N={g.n_nodes} (vocab {g.n_vocab}) "
+            f"E={g.n_edges} built in {time.time() - t0:.0f}s", flush=True,
+        )
+    return g, n_train, n_val
+
+
+def remask(g, protocol: str, n_train: int, n_val: int, seed: int):
+    """Per-seed split masks with the reference drivers' semantics."""
+    n = g.n_nodes
+    test_mask = np.zeros(n, bool)
+    val_mask = np.zeros(n, bool)
+    rng = np.random.default_rng(seed)
+    if protocol == "amazon":
+        val_docs = rng.choice(n_train, int(0.1 * n_train), replace=False)
+        val_mask[g.n_vocab + val_docs] = True
+        test_mask[g.n_vocab + n_train :] = True
+    else:
+        val_mask[g.n_vocab + n_train : g.n_vocab + n_train + n_val] = True
+        test_mask[g.n_vocab + n_train + n_val :] = True
+    train_mask = ~(test_mask | val_mask)
+    train_mask[: g.n_vocab] = False  # word nodes carry pseudo-labels only
+    return dataclasses.replace(
+        g, train_mask=train_mask, val_mask=val_mask, test_mask=test_mask
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--protocol", choices=list(PROTOCOLS), default="amazon")
+    ap.add_argument("--seeds", type=int, nargs="+", default=[42, 43, 44])
+    ap.add_argument("--n-docs", type=int, default=0, help="0 = protocol default")
+    ap.add_argument("--frameworks", choices=["both", "jax", "torch"], default="both")
+    ap.add_argument("--out", default="docs/protocol_results.csv")
+    ap.add_argument("--use-pallas", action="store_true")
+    ap.add_argument("--verbose", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    p = PROTOCOLS[args.protocol]
+    n_docs = args.n_docs or (50_000 if args.protocol == "amazon" else 60_000)
+    g, n_train, n_val = build_graph(args.protocol, n_docs, args.verbose)
+    n_classes = int(np.max(np.asarray(g.y))) + 1
+
+    rows = []
+    for seed in args.seeds:
+        gs = remask(g, args.protocol, n_train, n_val, seed)
+        if args.frameworks in ("both", "jax"):
+            model = GCN(gs.in_dim, n_classes, n_hidden_gcn=p["n_hidden"],
+                        dropout=p["dropout"])
+            tr = Trainer(model, lr=p["lr"], seed=seed, use_pallas=args.use_pallas)
+            t0 = time.time()
+            tr.fit(gs, epochs=p["epochs"], n_classes=n_classes,
+                   verbose=args.verbose, eval_every=max(1, p["epochs"] // 10))
+            m = tr.evaluate(gs, n_classes=n_classes)
+            m["train_seconds"] = time.time() - t0
+            rows.append(("jax", seed, m))
+            print(f"[jax seed={seed}] acc {m['accuracy']:.4f} "
+                  f"f1 {m['f1_macro']:.4f} ({m['train_seconds']:.0f}s)", flush=True)
+            append_result(args.out, seed=seed, model="GCN", hierarchy="flat",
+                          f1_macro=m["f1_macro"], accuracy=m["accuracy"],
+                          dataset=f"synthetic-{args.protocol}", category="jax")
+        if args.frameworks in ("both", "torch"):
+            from torch_reference import train_torch_reference
+
+            m = train_torch_reference(
+                gs, n_classes, epochs=p["epochs"], lr=p["lr"],
+                dropout=p["dropout"], n_hidden=p["n_hidden"], seed=seed,
+                verbose=args.verbose,
+            )
+            rows.append(("torch", seed, m))
+            print(f"[torch seed={seed}] acc {m['accuracy']:.4f} "
+                  f"f1 {m['f1_macro']:.4f} ({m['train_seconds']:.0f}s)", flush=True)
+            append_result(args.out, seed=seed, model="GCN", hierarchy="flat",
+                          f1_macro=m["f1_macro"], accuracy=m["accuracy"],
+                          dataset=f"synthetic-{args.protocol}", category="torch")
+
+    summary = {}
+    for fw in ("jax", "torch"):
+        accs = [m["accuracy"] for f, _, m in rows if f == fw]
+        f1s = [m["f1_macro"] for f, _, m in rows if f == fw]
+        if accs:
+            summary[fw] = {
+                "accuracy": (float(np.mean(accs)), float(np.std(accs))),
+                "f1_macro": (float(np.mean(f1s)), float(np.std(f1s))),
+            }
+    print(json.dumps({"protocol": args.protocol, "n_docs": n_docs,
+                      "n_classes": n_classes, "summary": summary}), flush=True)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

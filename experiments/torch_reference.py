@@ -1,0 +1,121 @@
+"""Independent torch implementation of the reference training protocol.
+
+Cross-framework evidence for accuracy parity (VERDICT round 1, item 2): a
+complete train loop in plain torch implementing exactly what the reference
+runs — torch-geometric 1.6.3 ``GCNConv`` semantics (add self-loops w=1,
+symmetric normalization, ``x @ W``, scatter-add over destinations, bias
+after aggregation; /root/reference/textgcn/lib/models.py:6-25 and SURVEY.md
+§3.3), **no inter-layer activation** (models.py:22), dropout between layers
+(models.py:23), masked cross-entropy on the train nodes and
+``Adam(lr, amsgrad=True)`` (flat_amazon.py:89,99-106). torch-geometric
+itself is not installed here; the formulation is written from the documented
+semantics with plain torch sparse ops, so it shares no code with either the
+JAX stack or the numpy oracle in tests/test_gcn_parity.py.
+
+Run side by side with the JAX driver on the same graph via
+experiments/protocol_parity.py.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def _normalized_adj(g, dtype):
+    """``D^-1/2 (A + I) D^-1/2`` as a torch CSR tensor (row = destination)."""
+    import torch
+
+    n = g.n_nodes
+    src = np.concatenate([np.asarray(g.edge_src, np.int64), np.arange(n)])
+    dst = np.concatenate([np.asarray(g.edge_dst, np.int64), np.arange(n)])
+    w = np.concatenate(
+        [np.asarray(g.edge_w, np.float64), np.ones(n, np.float64)]
+    )
+    deg = np.zeros(n, np.float64)
+    np.add.at(deg, dst, w)
+    dinv = 1.0 / np.sqrt(deg)
+    norm = dinv[src] * w * dinv[dst]
+    a = torch.sparse_coo_tensor(
+        torch.from_numpy(np.stack([dst, src])),
+        torch.from_numpy(norm).to(dtype),
+        (n, n),
+    ).coalesce()
+    return a.to_sparse_csr()
+
+
+def train_torch_reference(
+    g,
+    n_classes: int,
+    *,
+    epochs: int = 500,
+    lr: float = 0.05,
+    dropout: float = 0.7,
+    n_hidden: int = 100,
+    seed: int = 42,
+    verbose: int = 0,
+    eval_every: int = 50,
+):
+    """Train the reference-formulation 2-layer GCN; returns test metrics.
+
+    ``g`` is a :class:`pytextgcn_tpu.core.graph.TextGraph` with implicit
+    identity features (the flat protocol; text2graph.py:179). The identity
+    structure makes layer 1 ``A_hat @ W1`` — the N x N identity is never
+    materialized, matching what the sparse feature matrix gives torch in the
+    reference.
+    """
+    import torch
+    from sklearn.metrics import accuracy_score, f1_score
+
+    assert g.x is None and g.hierarchy_feats is None, (
+        "torch harness covers the flat protocol (identity features)"
+    )
+    torch.manual_seed(seed)
+    n = g.n_nodes
+    a_hat = _normalized_adj(g, torch.float32)
+
+    # glorot init, like PyG 1.6.3's GCNConv.reset_parameters
+    w1 = torch.empty(n, n_hidden)
+    w2 = torch.empty(n_hidden, n_classes)
+    torch.nn.init.xavier_uniform_(w1)
+    torch.nn.init.xavier_uniform_(w2)
+    w1.requires_grad_(True)
+    w2.requires_grad_(True)
+    b1 = torch.zeros(n_hidden, requires_grad=True)
+    b2 = torch.zeros(n_classes, requires_grad=True)
+
+    y = torch.from_numpy(np.asarray(g.y, np.int64))
+    train_mask = torch.from_numpy(np.asarray(g.train_mask))
+    test_mask = np.asarray(g.test_mask)
+    opt = torch.optim.Adam([w1, b1, w2, b2], lr=lr, amsgrad=True)
+    ce = torch.nn.CrossEntropyLoss()
+    drop = torch.nn.Dropout(dropout)
+
+    def forward(train: bool):
+        h = torch.sparse.mm(a_hat, w1) + b1  # identity feats: X @ W1 == W1
+        h = drop(h) if train else h
+        return torch.sparse.mm(a_hat, h @ w2) + b2
+
+    t0 = time.time()
+    for epoch in range(epochs):
+        opt.zero_grad(set_to_none=True)
+        loss = ce(forward(train=True)[train_mask], y[train_mask])
+        loss.backward()
+        opt.step()
+        if verbose > 0 and (epoch + 1) % eval_every == 0:
+            print(
+                f"[torch {epoch + 1}] loss {float(loss):.3f} "
+                f"({time.time() - t0:.0f}s)",
+                flush=True,
+            )
+
+    with torch.no_grad():
+        pred = forward(train=False).argmax(1).numpy()
+    yt = np.asarray(g.y)[test_mask]
+    pt = pred[test_mask]
+    return {
+        "accuracy": float(accuracy_score(yt, pt)),
+        "f1_macro": float(f1_score(yt, pt, average="macro")),
+        "train_seconds": time.time() - t0,
+    }

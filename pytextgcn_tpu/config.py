@@ -44,6 +44,11 @@ class TrainConfig:
     val_split: float = 0.1
     early_stopping: Optional[str] = None  # None | reference | val_f1
     use_pallas: bool = False
+    # dense-hot/sparse-cold SpMM decomposition (ops/hybrid.py): 'auto'
+    # picks the hot-set size by cost model (and falls back to the pure
+    # path when the graph has no exploitable hot set), an int forces K,
+    # 'off' disables
+    hybrid_k: str = "off"
     eval_every: int = 1
     verbose: int = 1
 
@@ -122,6 +127,22 @@ def parse_config(argv=None, cfg: Optional[ExperimentConfig] = None) -> Experimen
     if isinstance(cfg.graph.max_length, str):
         cfg.graph.max_length = int(cfg.graph.max_length)
     return cfg
+
+
+def hybrid_k_arg(cfg: TrainConfig):
+    """TrainConfig.hybrid_k ('off' | 'auto' | int string) -> Trainer arg."""
+    v = cfg.hybrid_k
+    if v in (None, "off", "none", ""):
+        return None
+    if v == "auto":
+        return "auto"
+    try:
+        return int(v)
+    except ValueError:
+        raise SystemExit(
+            f"--train-hybrid-k must be 'off', 'auto', or an integer hot-set "
+            f"size, got {v!r}"
+        )
 
 
 def make_model(cfg: ModelConfig, in_dim: int, out_dim: int):

@@ -73,3 +73,165 @@ def synthetic_corpus(
         return docs, labels
     parents = [c % n_parents for c in labels]
     return docs, labels, parents
+
+
+# --------------------------------------------------------------------------
+# Protocol-scale corpora
+#
+# Stand-ins for the git-LFS-absent Amazon / DBpedia CSVs (SURVEY.md §2.5) at
+# the *shape* the reference protocols assume: the class counts of
+# flat_amazon.py (6 Cat1 / 43 Cat2) and flat_dbpedia.py (9 l1 / 70 l2 /
+# 219 l3), tens of thousands of documents, Zipfian word frequencies (the
+# degree skew that stresses graph construction and the hot-set SpMM), and a
+# class signal that is learnable but far from separable — sibling classes
+# share their parent's vocabulary and differ only in word *frequencies*.
+# --------------------------------------------------------------------------
+
+
+def _ragged_split(n_children: int, n_parents: int, rng) -> np.ndarray:
+    """Parent id for each child, with realistically uneven family sizes."""
+    weights = rng.dirichlet(np.full(n_parents, 1.5))
+    sizes = np.maximum(1, np.round(weights * n_children).astype(int))
+    while sizes.sum() > n_children:
+        sizes[np.argmax(sizes)] -= 1
+    while sizes.sum() < n_children:
+        sizes[np.argmin(sizes)] += 1
+    return np.repeat(np.arange(n_parents), sizes)
+
+
+def _zipf_probs(n: int, alpha: float) -> np.ndarray:
+    p = 1.0 / np.arange(1, n + 1) ** alpha
+    return p / p.sum()
+
+
+def protocol_corpus(protocol: str = "amazon", n_docs: int = 50_000, seed: int = 0):
+    """Corpus shaped like the reference's datasets, for protocol-scale runs.
+
+    Returns ``(docs, level_labels, n_train, n_val)`` where ``level_labels``
+    is ``[coarse, ..., fine]`` integer label arrays over all docs, laid out
+    train-block-first like the reference CSVs (flat_amazon.py:42-63 concats
+    train then test; DBpedia has an explicit val block between them —
+    ``n_val`` is 0 for amazon, whose val split is drawn at run time).
+
+    Document model: each token is background (global Zipf), a parent-topic
+    word, or a child-topic word. Every child of a parent draws from the
+    *same* parent word pool under a child-specific frequency ordering, so
+    sibling discrimination rests on frequency profiles, not word identity —
+    the confusable regime the published accuracies (0.599 on 43-class
+    Amazon; results.csv:2-16) live in.
+    """
+    rng = np.random.default_rng(seed + 7_777)
+    if protocol == "amazon":
+        levels = (6, 43)
+        n_background, pool_size, bg_alpha = 40_000, 600, 1.07
+        mix = (0.70, 0.12, 0.18)  # background / parent-topic / child-topic
+        child_alpha = 1.3
+        log_len, sig_len, min_len, max_len = 3.75, 0.45, 12, 220
+        n_train = int(round(n_docs * 0.8))
+        n_val = 0
+    elif protocol == "dbpedia":
+        levels = (9, 70, 219)
+        n_background, pool_size, bg_alpha = 30_000, 220, 1.05
+        mix = (0.47, 0.14, 0.14, 0.25)  # bg / l1 / l2 / l3(dedicated)
+        child_alpha = 1.15
+        log_len, sig_len, min_len, max_len = 3.6, 0.35, 10, 120
+        n_train = int(round(n_docs * 0.75))
+        n_val = int(round(n_docs * 0.10))
+    else:
+        raise ValueError(f"unknown protocol {protocol!r}")
+
+    # word surfaces are cheap integers-as-strings; CountVectorizer's \w+
+    # tokenizer keeps them intact
+    bg_words = np.array([f"bg{i:05d}" for i in range(n_background)])
+    bg_p = _zipf_probs(n_background, bg_alpha)
+
+    # label tree: child -> parent chains, ragged family sizes
+    parent_of = []  # parent_of[level][class_at_level] -> class at level-1
+    for li in range(1, len(levels)):
+        parent_of.append(_ragged_split(levels[li], levels[li - 1], rng))
+
+    # per-level topic pools. Levels 0..k-2: one dedicated pool per class at
+    # that level, shared by all descendants, drawn under a class-specific
+    # ordering at the level below. Final level: for amazon the children
+    # *share* the parent pool with permuted Zipf ranks (confusable); for
+    # dbpedia each leaf additionally owns a small dedicated vocabulary
+    # (short docs, high accuracy — results_dbpedia.csv:2-7 is 0.871).
+    pools = []
+    for li, n_cls in enumerate(levels[:-1]):
+        pools.append(
+            [
+                np.array([f"t{li}c{c:03d}w{j:03d}" for j in range(pool_size)])
+                for c in range(n_cls)
+            ]
+        )
+    n_leaf = levels[-1]
+    leaf_parent = parent_of[-1]
+    child_p = _zipf_probs(pool_size, child_alpha)
+    # leaf-specific distribution over the parent's pool: the shared Zipf
+    # base with a log-normal frequency tilt — sibling distributions overlap
+    # heavily, so discrimination rests on aggregate frequency profiles
+    leaf_tilt = 1.15
+    leaf_dists = []
+    for _ in range(n_leaf):
+        w = child_p * np.exp(leaf_tilt * rng.standard_normal(pool_size))
+        leaf_dists.append(np.cumsum(w / w.sum()))
+    if protocol == "dbpedia":
+        leaf_vocab = [
+            np.array([f"leaf{c:03d}w{j:02d}" for j in range(18)]) for c in range(n_leaf)
+        ]
+        leaf_vocab_p = _zipf_probs(18, 1.1)
+
+    # class priors: uneven, like real category data
+    leaf_prior = rng.dirichlet(np.full(n_leaf, 3.0))
+
+    # inverse-CDF samplers (rng.choice with p= rebuilds the CDF per call)
+    bg_cum = np.cumsum(bg_p)
+    child_cum = np.cumsum(child_p)
+    mix_cum = np.cumsum(mix)
+    if protocol == "dbpedia":
+        leaf_cum = np.cumsum(leaf_vocab_p)
+
+    docs = []
+    leaf_label = np.searchsorted(np.cumsum(leaf_prior), rng.random(n_docs)).clip(
+        0, n_leaf - 1
+    )
+    lengths = np.clip(
+        np.exp(rng.normal(log_len, sig_len, n_docs)).astype(int), min_len, max_len
+    )
+    for i in range(n_docs):
+        leaf = int(leaf_label[i])
+        chain = [leaf]  # classes at levels k-1 .. 0
+        for po in reversed(parent_of):
+            chain.append(int(po[chain[-1]]))
+        chain = chain[::-1]  # level 0 .. k-1
+        length = int(lengths[i])
+        kind = np.searchsorted(mix_cum, rng.random(length)).clip(0, len(mix) - 1)
+        words = np.empty(length, dtype=object)
+        m0 = kind == 0
+        if m0.any():
+            idx = np.searchsorted(bg_cum, rng.random(int(m0.sum())))
+            words[m0] = bg_words[idx.clip(0, n_background - 1)]
+        for li in range(len(levels) - 1):
+            m = kind == (1 + li)
+            if m.any():
+                pool = pools[li][chain[li]]
+                idx = np.searchsorted(child_cum, rng.random(int(m.sum())))
+                words[m] = pool[idx.clip(0, pool_size - 1)]
+        m = kind == len(mix) - 1
+        if m.any():
+            if protocol == "dbpedia":
+                idx = np.searchsorted(leaf_cum, rng.random(int(m.sum())))
+                words[m] = leaf_vocab[leaf][idx.clip(0, len(leaf_vocab_p) - 1)]
+            else:
+                pool = pools[-1][int(leaf_parent[leaf])]
+                idx = np.searchsorted(leaf_dists[leaf], rng.random(int(m.sum())))
+                words[m] = pool[idx.clip(0, pool_size - 1)]
+        docs.append(" ".join(words.tolist()))
+
+    level_labels = []
+    for li in range(len(levels)):
+        lab = leaf_label.copy()
+        for po in reversed(parent_of[li:]):
+            lab = po[lab]
+        level_labels.append(lab.astype(np.int64))
+    return docs, level_labels, n_train, n_val

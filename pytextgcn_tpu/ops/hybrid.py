@@ -39,12 +39,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# cost-model constants (refined against real-chip measurements; see
-# RESULTS.md "hybrid SpMM" section): HBM streaming bandwidth, effective MXU
-# f32-HIGHEST throughput, per-edge cost of the gather+tile residual path
-_HBM_BPS = 6.0e11
-_MXU_F32_HIGHEST = 3.0e13
-_EDGE_NS = 5.4
+# cost-model constants, calibrated against the real-chip probe
+# (experiments/chip_probe.py; RESULTS.md "round 2"): measured streaming
+# bandwidth ~220 GB/s, dense f32/HIGHEST ~14 TFLOP/s, and ~6 ns per
+# residual edge slot in the Pallas tile path. The model only has to rank
+# candidate K values; the zipf probe shows K=2048-4096 within 12% of each
+# other, so coarse constants are fine.
+_HBM_BPS = 2.2e11
+_MXU_F32_HIGHEST = 1.4e13
+_EDGE_NS = 6.0
 
 
 @partial(
@@ -78,33 +81,45 @@ def _predict_cost_ns(n_nodes: int, n_edges: int, resid_edges: int, k: int, h: in
     """Rough per-SpMM cost of a K-hot decomposition (see module docstring)."""
     dense_bytes = (n_nodes * k + k * k) * itemsize  # D read twice ~ streamed
     dense_flops = 2 * (2 * n_nodes * k + k * k) * h
-    mxu = _MXU_F32_HIGHEST if itemsize == 4 else 6 * _MXU_F32_HIGHEST
-    return (
-        2 * dense_bytes / _HBM_BPS * 1e9
-        + dense_flops / mxu * 1e9
-        + resid_edges * _EDGE_NS
-    )
+    mxu = _MXU_F32_HIGHEST if itemsize == 4 else 1.6 * _MXU_F32_HIGHEST
+    # memory traffic and MXU time overlap on TPU; the slower one dominates
+    dense_ns = max(2 * dense_bytes / _HBM_BPS, dense_flops / mxu) * 1e9
+    return dense_ns + resid_edges * _EDGE_NS
+
+
+_PAD_FACTOR = 1.6  # measured tile-plan slot inflation over raw edge counts
 
 
 def choose_hot_k(src, n_nodes: int, h: int = 128, itemsize: int = 4,
-                 candidates=(0, 512, 1024, 2048, 4096, 8192)) -> int:
-    """Pick K minimizing the modeled SpMM cost (0 = hybrid not worth it)."""
+                 candidates=(0, 512, 1024, 2048, 4096, 8192),
+                 dst=None) -> int:
+    """Pick K minimizing the modeled SpMM cost (0 = hybrid not worth it).
+
+    With ``dst`` given, the cold-cold residual is counted exactly per
+    candidate (one vectorized pass each); without it, an independence
+    estimate from the src-degree coverage is used.
+    """
     src = np.asarray(src)
     deg = np.bincount(src, minlength=n_nodes)
     order = np.argsort(-deg, kind="stable")
-    cum = np.concatenate([[0], np.cumsum(deg[order])])
     e = len(src)
-    best_k, best_t = 0, e * _EDGE_NS
+    rank = np.empty(n_nodes, np.int64)
+    rank[order] = np.arange(n_nodes)
+    r_src = rank[src]
+    r_dst = rank[np.asarray(dst)] if dst is not None else None
+    cum = np.concatenate([[0], np.cumsum(deg[order])])
+    best_k, best_t = 0, e * _PAD_FACTOR * _EDGE_NS
     for k in candidates:
         if k == 0 or k >= n_nodes:
             continue
-        # d+w2 residual upper bound: 1 - P(src hot) - P(dst hot, src cold);
-        # by symmetry estimate P(both cold) ~ (1 - cov)^2 is optimistic for
-        # correlated endpoints, so use the measurable src-side bound times
-        # the dst-side conditional from the same marginal
-        cov = cum[k] / max(e, 1)
-        resid = e * max(1.0 - cov, 0.0) ** 2
-        t = _predict_cost_ns(n_nodes, e, resid, k, h, itemsize)
+        if n_nodes * k * itemsize > 1.5e9:
+            continue  # d_full would not be worth its HBM/plan-build cost
+        if r_dst is not None:
+            resid = int(np.sum((r_src >= k) & (r_dst >= k)))
+        else:
+            cov = cum[k] / max(e, 1)
+            resid = e * max(1.0 - cov, 0.0) ** 2
+        t = _predict_cost_ns(n_nodes, e, resid * _PAD_FACTOR, k, h, itemsize)
         if t < best_t:
             best_k, best_t = k, t
     return best_k
@@ -130,7 +145,7 @@ def build_hybrid_plan(
     w = np.asarray(w, np.float32)
     itemsize = jnp.dtype(compute_dtype).itemsize
     if hot_k == "auto":
-        hot_k = choose_hot_k(src, n_nodes, h=h_hint, itemsize=itemsize)
+        hot_k = choose_hot_k(src, n_nodes, h=h_hint, itemsize=itemsize, dst=dst)
         if hot_k == 0:
             return None
     k = int(min(hot_k, n_nodes))
