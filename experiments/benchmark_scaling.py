@@ -27,6 +27,11 @@ def main(argv=None):
     p.add_argument("--hidden", type=int, default=128)
     p.add_argument("--repeats", type=int, default=10)
     p.add_argument("--devices", type=int, nargs="+", default=None)
+    p.add_argument(
+        "--local-frac", type=float, default=0.8,
+        help="fraction of edges whose endpoints share a shard (text graphs "
+        "partitioned well have high locality; 0 = uniform random)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -34,16 +39,28 @@ def main(argv=None):
 
     from pytextgcn_tpu.core.graph import TextGraph
     from pytextgcn_tpu.ops.spmm import spmm
-    from pytextgcn_tpu.parallel import build_sharded_adj, make_mesh
+    from pytextgcn_tpu.parallel import build_halo_adj, build_sharded_adj, make_mesh
+    from pytextgcn_tpu.parallel.halo import spmm_halo
 
     n_dev_avail = len(jax.devices())
     dev_counts = args.devices or [d for d in (1, 2, 4, 8) if d <= n_dev_avail]
 
     rng = np.random.default_rng(0)
     n, e = args.n_nodes, args.n_edges
+    dst = rng.integers(0, n, e).astype(np.int32)
+    # locality: most sources land in the destination's region (graphs
+    # partitioned by a locality-aware order behave like this); the rest
+    # are uniform — those form the halo
+    local = rng.random(e) < args.local_frac
+    region = 2048
+    src = np.where(
+        local,
+        (dst + rng.integers(-region, region, e)) % n,
+        rng.integers(0, n, e),
+    ).astype(np.int32)
     g = TextGraph(
-        edge_src=rng.integers(0, n, e).astype(np.int32),
-        edge_dst=rng.integers(0, n, e).astype(np.int32),
+        edge_src=src,
+        edge_dst=dst,
         edge_w=(rng.random(e) + 0.05).astype(np.float32),
         y=np.zeros(n, np.int32),
         train_mask=np.zeros(n, bool),
@@ -53,27 +70,40 @@ def main(argv=None):
         n_docs=n - n // 2,
     )
     x = jnp.asarray(rng.standard_normal((n, args.hidden)).astype(np.float32))
+    row_bytes = args.hidden * 4
 
     base_rate = None
     for d in dev_counts:
         mesh = make_mesh(d)
-        adj = build_sharded_adj(g, mesh)
-        fn = jax.jit(lambda a, v: spmm(a, v))
-        out = fn(adj, x)
-        jax.block_until_ready(out)
-        t0 = time.time()
-        for _ in range(args.repeats):
+        rows_per = -(-n // d)
+        for name in ("allgather", "halo"):
+            if name == "allgather":
+                adj = build_sharded_adj(g, mesh)
+                fn = jax.jit(lambda a, v: spmm(a, v))
+                # all_gather reassembles the full activation on every device
+                comm_rows = (d - 1) * rows_per
+            else:
+                if d == 1:
+                    continue
+                adj = build_halo_adj(g, mesh)
+                fn = jax.jit(lambda a, v: spmm_halo(a, v))
+                comm_rows = adj.comm_rows_per_device
             out = fn(adj, x)
-        jax.block_until_ready(out)
-        dt = (time.time() - t0) / args.repeats
-        rate = e / dt
-        if base_rate is None:
-            base_rate = rate
-        eff = rate / (base_rate * d)
-        print(
-            f"devices={d}: {dt * 1e3:8.2f} ms  {rate / 1e6:8.2f} Medges/s  "
-            f"scaling efficiency {eff * 100:5.1f}%"
-        )
+            jax.block_until_ready(out)
+            t0 = time.time()
+            for _ in range(args.repeats):
+                out = fn(adj, x)
+            jax.block_until_ready(out)
+            dt = (time.time() - t0) / args.repeats
+            rate = e / dt
+            if base_rate is None:
+                base_rate = rate
+            eff = rate / (base_rate * d)
+            print(
+                f"devices={d} {name:9s}: {dt * 1e3:8.2f} ms  "
+                f"{rate / 1e6:8.2f} Medges/s  eff {eff * 100:5.1f}%  "
+                f"comm/dev {comm_rows * row_bytes / 1e6:7.2f} MB/SpMM"
+            )
 
 
 if __name__ == "__main__":

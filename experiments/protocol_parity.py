@@ -101,6 +101,8 @@ def main(argv=None):
     ap.add_argument("--frameworks", choices=["both", "jax", "torch"], default="both")
     ap.add_argument("--out", default="docs/protocol_results.csv")
     ap.add_argument("--use-pallas", action="store_true")
+    ap.add_argument("--hybrid-k", default="off",
+                    help="'off' | 'auto' | int — SpMM decomposition for the JAX side")
     ap.add_argument("--verbose", type=int, default=1)
     args = ap.parse_args(argv)
 
@@ -115,7 +117,11 @@ def main(argv=None):
         if args.frameworks in ("both", "jax"):
             model = GCN(gs.in_dim, n_classes, n_hidden_gcn=p["n_hidden"],
                         dropout=p["dropout"])
-            tr = Trainer(model, lr=p["lr"], seed=seed, use_pallas=args.use_pallas)
+            hk = None if args.hybrid_k in ("off", "none") else (
+                "auto" if args.hybrid_k == "auto" else int(args.hybrid_k)
+            )
+            tr = Trainer(model, lr=p["lr"], seed=seed, use_pallas=args.use_pallas,
+                         hybrid_k=hk)
             t0 = time.time()
             tr.fit(gs, epochs=p["epochs"], n_classes=n_classes,
                    verbose=args.verbose, eval_every=max(1, p["epochs"] // 10))

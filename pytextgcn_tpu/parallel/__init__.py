@@ -1,5 +1,6 @@
 from .halo import HaloAdj, build_halo_adj, spmm_halo
 from .multihost import global_mesh, host_local_mesh, init_distributed
+from .tensor import apply_tp, tp_param_shardings
 from .sharded import (
     ShardedAdj,
     build_sharded_adj,
@@ -20,4 +21,6 @@ __all__ = [
     "init_distributed",
     "global_mesh",
     "host_local_mesh",
+    "apply_tp",
+    "tp_param_shardings",
 ]

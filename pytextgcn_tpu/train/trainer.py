@@ -36,6 +36,7 @@ class Trainer:
         step_cache: Optional[dict] = None,
         hybrid_k=None,
         halo: bool = False,
+        tp_mesh=None,
     ):
         """``mesh``: a `jax.sharding.Mesh` with a 'graph' axis — training
         then runs with the aggregation edge-partitioned across the mesh
@@ -56,6 +57,9 @@ class Trainer:
         self.hybrid_k = hybrid_k  # dense-hot SpMM decomposition (ops/hybrid.py)
         self.halo = halo  # with mesh: boundary-only exchange, sharded activations
         self.mesh = mesh
+        # tensor parallelism (parallel/tensor.py): shard the wide EGCN
+        # embedding (+ first contraction) over this mesh's 'model' axis
+        self.tp_mesh = tp_mesh
         self.step_cache = step_cache
         self.params = None
         self.opt_state = None
@@ -179,6 +183,10 @@ class Trainer:
         key, init_key, base_key = jax.random.split(key, 3)
         if self.params is None:
             self.params = self.model.init(init_key)
+            if self.tp_mesh is not None:
+                from ..parallel.tensor import apply_tp
+
+                self.params = apply_tp(self.params, self.tp_mesh)
             self.opt_state = self.optimizer.init(self.params)
         if start_epoch == 0:
             # each fresh fit gets its own stream (hierarchy pipelines refit)
