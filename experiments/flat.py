@@ -57,14 +57,23 @@ def main(argv=None):
         model, lr=cfg.train.lr, seed=cfg.train.seed,
         use_pallas=cfg.train.use_pallas, hybrid_k=hybrid_k_arg(cfg.train),
     )
-    trainer.fit(
-        g,
-        epochs=cfg.train.epochs,
-        n_classes=n_classes,
-        verbose=cfg.train.verbose,
-        eval_every=cfg.train.eval_every,
-        early_stopping=cfg.train.early_stopping,
-    )
+    if cfg.train.batch_size > 0:
+        trainer.fit_minibatch(
+            g,
+            epochs=cfg.train.epochs,
+            batch_size=cfg.train.batch_size,
+            n_classes=n_classes,
+            verbose=cfg.train.verbose,
+        )
+    else:
+        trainer.fit(
+            g,
+            epochs=cfg.train.epochs,
+            n_classes=n_classes,
+            verbose=cfg.train.verbose,
+            eval_every=cfg.train.eval_every,
+            early_stopping=cfg.train.early_stopping,
+        )
     metrics = trainer.evaluate(g, n_classes=n_classes)
     print(f"Test Accuracy: {metrics['accuracy']: .4f}")
     print(f"F1-Macro: {metrics['f1_macro']: .4f}")

@@ -50,6 +50,9 @@ class TrainConfig:
     # 'off' disables
     hybrid_k: str = "off"
     eval_every: int = 1
+    # 0 = full-batch (the reference protocol); >0 trains on n-hop
+    # neighborhood mini-batches of that many documents (Trainer.fit_minibatch)
+    batch_size: int = 0
     verbose: int = 1
 
 

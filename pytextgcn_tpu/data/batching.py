@@ -107,16 +107,19 @@ class NeighborhoodBatcher:
         return -(-len(self.seed_nodes) // self.batch_size)
 
     def _incoming(self, nodes: np.ndarray) -> np.ndarray:
-        """Positions (in dst-sorted order) of all edges into ``nodes``."""
+        """Positions (in dst-sorted order) of all edges into ``nodes``.
+
+        Vectorized CSR slice expansion: each node contributes the range
+        [indptr[v], indptr[v+1]); the ranges are emitted by one arange plus
+        per-range offsets (no per-node Python loop)."""
         starts = self._indptr[nodes]
-        ends = self._indptr[nodes + 1]
-        total = int(np.sum(ends - starts))
-        pos = np.empty(total, np.int64)
-        off = 0
-        for s, e in zip(starts, ends):
-            pos[off : off + (e - s)] = np.arange(s, e)
-            off += e - s
-        return pos
+        lens = self._indptr[nodes + 1] - starts
+        total = int(lens.sum())
+        if total == 0:
+            return np.zeros(0, np.int64)
+        cum = np.cumsum(lens)
+        offsets = np.repeat(starts - (cum - lens), lens)
+        return np.arange(total, dtype=np.int64) + offsets
 
     def __iter__(self) -> Iterator[SubgraphBatch]:
         order = self.seed_nodes.copy()
@@ -124,19 +127,17 @@ class NeighborhoodBatcher:
             self._rng.shuffle(order)
         for off in range(0, len(order), self.batch_size):
             batch = order[off : off + self.batch_size]
-            frontier = batch
-            node_set = set(batch.tolist())
+            known = np.unique(batch)  # sorted unique node universe so far
+            frontier = known
             edge_pos = []
             for _ in range(self.n_hops):
-                pos = self._incoming(np.unique(frontier))
+                pos = self._incoming(frontier)
                 edge_pos.append(pos)
                 new = np.unique(self._src_sorted[pos])
-                frontier = np.array(
-                    [v for v in new.tolist() if v not in node_set], dtype=np.int64
-                )
-                node_set.update(frontier.tolist())
+                frontier = new[~np.isin(new, known, assume_unique=True)]
                 if frontier.size == 0:
                     break
+                known = np.union1d(known, frontier)
             # dedupe by edge position (multi-edges between the same node pair
             # are real and must both survive — the full graph sums them)
             pos = np.unique(np.concatenate(edge_pos)) if edge_pos else np.zeros(0, np.int64)
@@ -144,11 +145,11 @@ class NeighborhoodBatcher:
             dst = self._dst_sorted[pos]
             w = self._w_sorted[pos]
 
-            nodes = np.unique(np.concatenate([np.fromiter(node_set, np.int64), batch]))
-            local = {int(v): i for i, v in enumerate(nodes)}
-            src_l = np.array([local[int(v)] for v in src], np.int32)
-            dst_l = np.array([local[int(v)] for v in dst], np.int32)
-            batch_l = np.array([local[int(v)] for v in batch], np.int32)
+            # `known` is sorted-unique, so local id == searchsorted rank
+            nodes = known
+            src_l = np.searchsorted(nodes, src).astype(np.int32)
+            dst_l = np.searchsorted(nodes, dst).astype(np.int32)
+            batch_l = np.searchsorted(nodes, batch).astype(np.int32)
 
             n_nodes_pad = _round_pow2(len(nodes)) if self.pad_pow2 else len(nodes)
             n_edges_pad = _round_pow2(len(src_l)) if self.pad_pow2 else len(src_l)

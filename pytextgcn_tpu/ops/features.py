@@ -23,18 +23,25 @@ from ..core.graph import TextGraph
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["x", "hierarchy"],
+    data_fields=["x", "hierarchy", "node_ids"],
     meta_fields=["n_vocab", "n_docs"],
 )
 @dataclasses.dataclass
 class NodeFeatures:
     """Either explicit dense features ``x`` [N, D], or implicit identity
-    features (+ optional hierarchy columns on document rows)."""
+    features (+ optional hierarchy columns on document rows).
+
+    ``node_ids`` restricts the implicit-identity form to a subgraph: row i
+    is the feature row of *global* node ``node_ids[i]`` (padding: -1), so
+    ``matmul`` becomes a row gather of the weight matrix — this is how
+    mini-batched training (data/batching.py) keeps the first layer a
+    gather instead of materializing any identity block."""
 
     n_vocab: int
     n_docs: int
     x: Optional[jax.Array] = None
     hierarchy: Optional[jax.Array] = None  # [n_docs, F]
+    node_ids: Optional[jax.Array] = None  # [M] global ids, -1 = padding
 
     @staticmethod
     def from_graph(g: TextGraph) -> "NodeFeatures":
@@ -43,6 +50,25 @@ class NodeFeatures:
             n_docs=g.n_docs,
             x=None if g.x is None else jnp.asarray(g.x),
             hierarchy=None if g.hierarchy_feats is None else jnp.asarray(g.hierarchy_feats),
+        )
+
+    def subgraph(self, node_ids) -> "NodeFeatures":
+        """Features for the subgraph whose local row i is global node
+        ``node_ids[i]``. Keeps the global ``in_dim`` (model params are
+        global); explicit features are sliced, implicit ones deferred to
+        a gather in :meth:`matmul`."""
+        ids = jnp.asarray(node_ids)
+        if self.x is not None:
+            return NodeFeatures(
+                n_vocab=self.n_vocab,
+                n_docs=self.n_docs,
+                x=self.x[jnp.maximum(ids, 0)],
+            )
+        return NodeFeatures(
+            n_vocab=self.n_vocab,
+            n_docs=self.n_docs,
+            hierarchy=self.hierarchy,
+            node_ids=ids,
         )
 
     @property
@@ -61,6 +87,16 @@ class NodeFeatures:
         if self.x is not None:
             return self.x @ w
         n = self.n_nodes
+        if self.node_ids is not None:
+            ids = jnp.maximum(self.node_ids, 0)
+            out = w[ids]
+            if self.hierarchy is not None:
+                is_doc = (ids >= self.n_vocab) & (self.node_ids >= 0)
+                hrows = self.hierarchy[
+                    jnp.clip(ids - self.n_vocab, 0, self.n_docs - 1)
+                ]
+                out = out + jnp.where(is_doc[:, None], hrows @ w[n:], 0.0)
+            return out
         out = w[:n]
         if self.hierarchy is not None:
             doc_part = self.hierarchy @ w[n:]

@@ -262,6 +262,93 @@ class Trainer:
         ]
         return history
 
+    def fit_minibatch(
+        self,
+        g: TextGraph,
+        epochs: int = 1,
+        batch_size: int = 128,
+        n_hops: Optional[int] = None,
+        n_classes: Optional[int] = None,
+        verbose: int = 0,
+        log_fn: Callable[[str], None] = print,
+    ) -> List[Dict[str, float]]:
+        """Mini-batched training via n-hop neighborhood subgraphs
+        (data/batching.py) — the workflow the reference's dead
+        ``TextGCNBatcher`` stub was aiming for (batching.py:9-55).
+
+        Each step trains on a re-indexed subgraph that reproduces the
+        full-graph GCN outputs at the batch's document nodes exactly
+        (globally-normalized edge weights; n_hops defaults to the model
+        depth, which is sufficient fan-in). Subgraph shapes are padded to
+        powers of two, so the jitted step compiles O(log) times, not once
+        per batch. Returns per-epoch history with the mean batch loss."""
+        from ..data.batching import NeighborhoodBatcher
+
+        if n_classes is None:
+            n_classes = int(np.max(np.asarray(g.y))) + 1
+        if n_hops is None:
+            n_hops = getattr(self.model, "n_gcn", 2)
+        batcher = NeighborhoodBatcher(
+            g, batch_size=batch_size, n_hops=n_hops, seed=self.seed
+        )
+        feats_full = NodeFeatures.from_graph(g)
+        y_np = np.asarray(g.y)
+
+        model, opt = self.model, self.optimizer
+
+        @jax.jit
+        def step(params, opt_state, base_key, i, adj, feats, y, mask):
+            rng = jax.random.fold_in(base_key, i)
+
+            def loss_fn(p):
+                logits = model.apply(p, adj, feats, train=True, rng=rng)
+                return masked_cross_entropy(logits, y, mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        key = jax.random.PRNGKey(self.seed)
+        key, init_key, base_key = jax.random.split(key, 3)
+        if self.params is None:
+            self.params = self.model.init(init_key)
+            if self.tp_mesh is not None:
+                from ..parallel.tensor import apply_tp
+
+                self.params = apply_tp(self.params, self.tp_mesh)
+            self.opt_state = self.optimizer.init(self.params)
+        self._fit_calls = getattr(self, "_fit_calls", 0) + 1
+        self._base_key = base_key = jax.random.fold_in(base_key, self._fit_calls)
+
+        history: List[Dict[str, float]] = []
+        i = 0
+        t0 = time.time()
+        for epoch in range(epochs):
+            losses = []
+            for sub in batcher:
+                adj = sub.to_adj()
+                feats = feats_full.subgraph(sub.nodes)
+                y_sub = jnp.asarray(y_np[np.maximum(sub.nodes, 0)])
+                mask = np.zeros(len(sub.nodes), bool)
+                mask[sub.batch_local[sub.batch_local >= 0]] = True
+                self.params, self.opt_state, loss = step(
+                    self.params, self.opt_state, base_key, i,
+                    adj, feats, y_sub, jnp.asarray(mask),
+                )
+                losses.append(loss)
+                i += 1
+            mean_loss = float(np.mean(jax.device_get(losses)))
+            history.append({"loss": mean_loss})
+            if verbose > 0:
+                log_fn(f"[{epoch + 1}] minibatch mean loss: {mean_loss: .4f}")
+        if verbose > 0:
+            log_fn(
+                f"minibatch training took {time.time() - t0:.2f}s "
+                f"({epochs} epochs x {len(batcher)} batches)"
+            )
+        return history
+
     def save(self, path: str, epoch: int) -> None:
         """Checkpoint params + opt state + RNG base key + epoch counter —
         everything :meth:`fit` needs to resume bit-exactly (the reference

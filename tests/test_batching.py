@@ -62,3 +62,63 @@ def test_subgraph_covers_and_matches_full_graph():
         seen.extend(global_ids.tolist())
         np.testing.assert_allclose(out[locs], full[global_ids], rtol=1e-4, atol=1e-5)
     assert sorted(seen) == sorted(np.flatnonzero(np.asarray(g.train_mask)).tolist())
+
+
+def test_subgraph_features_implicit_identity_and_hierarchy():
+    """NodeFeatures.subgraph: the weight-row gather (+hierarchy block) must
+    equal slicing the full implicit-identity product at the subgraph rows."""
+    rng = np.random.default_rng(3)
+    n_vocab, n_docs, fdim, h = 30, 20, 4, 8
+    n = n_vocab + n_docs
+    hier = rng.standard_normal((n_docs, fdim)).astype(np.float32)
+    feats = NodeFeatures(
+        n_vocab=n_vocab, n_docs=n_docs, hierarchy=jnp.asarray(hier)
+    )
+    w = jnp.asarray(rng.standard_normal((n + fdim, h)).astype(np.float32))
+    full = np.asarray(feats.matmul(w))
+
+    nodes = np.array([2, 7, 29, 30, 31, 49, -1, -1], np.int64)  # padded
+    sub = np.asarray(feats.subgraph(jnp.asarray(nodes)).matmul(w))
+    assert sub.shape == (len(nodes), h)
+    np.testing.assert_allclose(sub[:6], full[nodes[:6]], rtol=1e-6, atol=1e-7)
+
+
+def test_minibatch_training_single_batch_equals_full_batch():
+    """fit_minibatch with one batch spanning every train doc (and n_hops =
+    model depth) must reproduce full-batch fit exactly — same init, same
+    optimizer trajectory, dropout off."""
+    from pytextgcn_tpu.train import Trainer
+
+    rng = np.random.default_rng(1)
+    g = make_graph(rng)
+
+    def make_trainer():
+        return Trainer(GCN(g.in_dim, 3, n_hidden_gcn=8, dropout=0.0), lr=0.05, seed=5)
+
+    tr_full = make_trainer()
+    tr_full.fit(g, epochs=5, n_classes=3)
+
+    n_train = int(np.sum(np.asarray(g.train_mask)))
+    tr_mb = make_trainer()
+    hist = tr_mb.fit_minibatch(g, epochs=5, batch_size=n_train, n_hops=2, n_classes=3)
+    assert len(hist) == 5
+    for a, b in zip(jax.tree.leaves(tr_mb.params), jax.tree.leaves(tr_full.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_minibatch_training_converges():
+    """Real mini-batches (several per epoch, shuffled, dropout on) must fit
+    the training documents."""
+    from pytextgcn_tpu.train import Trainer
+    from pytextgcn_tpu.train.metrics import accuracy
+
+    rng = np.random.default_rng(2)
+    g = make_graph(rng, n_vocab=40, n_docs=60, n_edges=500)
+    tr = Trainer(GCN(g.in_dim, 3, n_hidden_gcn=16, dropout=0.1), lr=0.05, seed=0)
+    hist = tr.fit_minibatch(g, epochs=40, batch_size=8, n_classes=3)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+    logits = tr.predict_logits(g)
+    pred = jnp.argmax(logits, axis=-1)
+    acc = float(accuracy(pred, jnp.asarray(g.y), jnp.asarray(g.train_mask)))
+    assert acc > 0.9
