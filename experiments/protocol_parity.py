@@ -40,26 +40,31 @@ from pytextgcn_tpu.models import GCN
 from pytextgcn_tpu.train import Trainer
 from pytextgcn_tpu.train.results import append_result
 
-# the flat protocols, verbatim (flat_amazon.py:20-35; flat_dbpedia.py:18-34)
+# the flat protocols, verbatim (flat_amazon.py:20-35; flat_dbpedia.py:18-34).
+# ``hier_max_df``: the hierarchy drivers build their graphs with max_df=0.6
+# (perlevel_amazon.py:16-27, perlabel_amazon.py:13-40); dbpedia's cascade
+# keeps the flat knobs (perlevel_dbpedia.py:16-28).
 PROTOCOLS = {
     "amazon": dict(
         min_df=5, max_df=0.7, window_size=20, max_length=None,
-        epochs=500, lr=0.05, dropout=0.7, n_hidden=100,
+        epochs=500, lr=0.05, dropout=0.7, n_hidden=100, hier_max_df=0.6,
     ),
     "dbpedia": dict(
         min_df=100, max_df=0.4, window_size=5, max_length=15,
-        epochs=100, lr=0.05, dropout=0.5, n_hidden=32,
+        epochs=100, lr=0.05, dropout=0.5, n_hidden=32, hier_max_df=0.4,
     ),
 }
 
 
-def build_graph(protocol: str, n_docs: int, verbose: int = 1):
+def build_graph(protocol: str, n_docs: int, verbose: int = 1, hierarchy: str = "flat"):
     p = PROTOCOLS[protocol]
     docs, level_labels, n_train, n_val = protocol_corpus(protocol, n_docs=n_docs)
     y = np.asarray(level_labels[-1])
     t0 = time.time()
     t2g = Text2Graph(
-        min_df=p["min_df"], max_df=p["max_df"], window_size=p["window_size"],
+        min_df=p["min_df"],
+        max_df=p["max_df"] if hierarchy == "flat" else p["hier_max_df"],
+        window_size=p["window_size"],
         max_length=p["max_length"], rm_stopwords=False, verbose=verbose,
     )
     # masks here are placeholders; remask() applies the per-seed split
@@ -70,7 +75,7 @@ def build_graph(protocol: str, n_docs: int, verbose: int = 1):
             f"[{protocol}] graph: N={g.n_nodes} (vocab {g.n_vocab}) "
             f"E={g.n_edges} built in {time.time() - t0:.0f}s", flush=True,
         )
-    return g, n_train, n_val
+    return g, level_labels, n_train, n_val
 
 
 def remask(g, protocol: str, n_train: int, n_val: int, seed: int):
@@ -93,12 +98,71 @@ def remask(g, protocol: str, n_train: int, n_val: int, seed: int):
     )
 
 
+def run_hierarchy(args, p, g, level_labels, n_train, n_val, n_classes):
+    """Protocol-scale hierarchy runs (perlevel_amazon.py / perlabel_amazon.py
+    semantics) through the framework's cascade/ensemble pipelines."""
+    from pytextgcn_tpu.hierarchy.perlabel import eval_per_label, train_per_label
+    from pytextgcn_tpu.hierarchy.perlevel import train_per_level
+
+    def model_factory(in_dim, out_dim):
+        return GCN(in_dim, out_dim, n_hidden_gcn=p["n_hidden"], dropout=p["dropout"])
+
+    hier_name = "per-level" if args.hierarchy == "perlevel" else "per-label"
+    summary = []
+    for seed in args.seeds:
+        gs = remask(g, args.protocol, n_train, n_val, seed)
+        t0 = time.time()
+        if args.hierarchy == "perlevel":
+            res = train_per_level(
+                gs, level_labels, model_factory,
+                lr=p["lr"], epochs=p["epochs"], seed=seed, verbose=args.verbose,
+            )
+            m = res["metrics"]
+        else:
+            y_child = np.asarray(level_labels[-1])
+            y_parent = np.asarray(level_labels[-2])
+            ens = train_per_label(
+                gs, y_child, y_parent, model_factory,
+                lr=p["lr"], epochs=p["epochs"], seed=seed, verbose=args.verbose,
+            )
+            # ground-truth routing is the reference's quirk (eval_perlabel.py:73)
+            m = eval_per_label(
+                gs, y_child, y_parent, ens["trainers"], ens["mapping"],
+                route="ground_truth",
+            )
+        dt = time.time() - t0
+        print(f"[jax {hier_name} seed={seed}] acc {m['accuracy']:.4f} "
+              f"f1 {m['f1_macro']:.4f} ({dt:.0f}s)", flush=True)
+        summary.append((m["accuracy"], m["f1_macro"]))
+        append_result(args.out, seed=seed, model="GCN", hierarchy=hier_name,
+                      f1_macro=m["f1_macro"], accuracy=m["accuracy"],
+                      dataset=f"synthetic-{args.protocol}", category="jax")
+    accs, f1s = zip(*summary)
+    print(json.dumps({
+        "protocol": args.protocol, "hierarchy": hier_name, "n_docs": len(level_labels[0]),
+        "n_classes": n_classes,
+        "summary": {"jax": {"accuracy": (float(np.mean(accs)), float(np.std(accs))),
+                             "f1_macro": (float(np.mean(f1s)), float(np.std(f1s)))}},
+    }), flush=True)
+    return summary
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--protocol", choices=list(PROTOCOLS), default="amazon")
     ap.add_argument("--seeds", type=int, nargs="+", default=[42, 43, 44])
     ap.add_argument("--n-docs", type=int, default=0, help="0 = protocol default")
+    ap.add_argument("--epochs", type=int, default=0,
+                    help="override the protocol's epoch count (0 = protocol "
+                    "value; for smoke runs)")
     ap.add_argument("--frameworks", choices=["both", "jax", "torch"], default="both")
+    ap.add_argument(
+        "--hierarchy", choices=["flat", "perlevel", "perlabel"], default="flat",
+        help="run the reference's hierarchy protocols (JAX framework only — "
+        "the torch cross-check covers the shared model/trainer math in flat "
+        "mode; hierarchy evidence is about reproducing the reference's "
+        "protocol behavior, e.g. per-label beating flat, results.csv:14-16)",
+    )
     ap.add_argument("--out", default="docs/protocol_results.csv")
     ap.add_argument("--use-pallas", action="store_true")
     ap.add_argument("--hybrid-k", default="off",
@@ -106,10 +170,17 @@ def main(argv=None):
     ap.add_argument("--verbose", type=int, default=1)
     args = ap.parse_args(argv)
 
-    p = PROTOCOLS[args.protocol]
+    p = dict(PROTOCOLS[args.protocol])
+    if args.epochs:
+        p["epochs"] = args.epochs
     n_docs = args.n_docs or (50_000 if args.protocol == "amazon" else 60_000)
-    g, n_train, n_val = build_graph(args.protocol, n_docs, args.verbose)
+    g, level_labels, n_train, n_val = build_graph(
+        args.protocol, n_docs, args.verbose, hierarchy=args.hierarchy
+    )
     n_classes = int(np.max(np.asarray(g.y))) + 1
+
+    if args.hierarchy != "flat":
+        return run_hierarchy(args, p, g, level_labels, n_train, n_val, n_classes)
 
     rows = []
     for seed in args.seeds:

@@ -47,8 +47,10 @@ class TrainConfig:
     # dense-hot/sparse-cold SpMM decomposition (ops/hybrid.py): 'auto'
     # picks the hot-set size by cost model (and falls back to the pure
     # path when the graph has no exploitable hot set), an int forces K,
-    # 'off' disables
-    hybrid_k: str = "off"
+    # 'off' disables, 'auto-tpu' (default) = 'auto' on TPU backends and
+    # 'off' elsewhere — TPU runs get the fast aggregation without flags,
+    # CPU runs skip the plan-build cost where XLA's segment path is fine
+    hybrid_k: str = "auto-tpu"
     eval_every: int = 1
     # 0 = full-batch (the reference protocol); >0 trains on n-hop
     # neighborhood mini-batches of that many documents (Trainer.fit_minibatch)
@@ -133,18 +135,23 @@ def parse_config(argv=None, cfg: Optional[ExperimentConfig] = None) -> Experimen
 
 
 def hybrid_k_arg(cfg: TrainConfig):
-    """TrainConfig.hybrid_k ('off' | 'auto' | int string) -> Trainer arg."""
+    """TrainConfig.hybrid_k ('off' | 'auto' | 'auto-tpu' | int string) ->
+    Trainer arg."""
     v = cfg.hybrid_k
     if v in (None, "off", "none", ""):
         return None
+    if v == "auto-tpu":
+        import jax
+
+        return "auto" if jax.default_backend() == "tpu" else None
     if v == "auto":
         return "auto"
     try:
         return int(v)
     except ValueError:
         raise SystemExit(
-            f"--train-hybrid-k must be 'off', 'auto', or an integer hot-set "
-            f"size, got {v!r}"
+            f"--train-hybrid-k must be 'off', 'auto', 'auto-tpu', or an "
+            f"integer hot-set size, got {v!r}"
         )
 
 

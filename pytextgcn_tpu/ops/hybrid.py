@@ -136,8 +136,6 @@ def build_hybrid_plan(
 ) -> Optional[HybridPlan]:
     """Host-side construction. ``hot_k``: int, or 'auto' to pick by cost
     model (returns None if the model says pure-Pallas wins)."""
-    from scipy import sparse as sp
-
     from .spmm_pallas import _build_tile_plan
 
     src = np.asarray(src, np.int64)
@@ -163,12 +161,12 @@ def build_hybrid_plan(
     dst_hot = hot_rank[dst] >= 0
 
     sel = src_hot
-    d_full = np.asarray(
-        sp.coo_matrix(
-            (w[sel], (dst[sel], hot_rank[src[sel]])), shape=(n_nodes, k)
-        ).todense(),
-        dtype=np.float32,
-    )
+    # direct unbuffered accumulation: one touch of the (N, K) buffer. The
+    # scipy coo->todense route costs ~6x more here — it allocates/faults
+    # three buffers this size and copies the 8-byte index arrays twice
+    # (lazily-backed hosts make every fresh page expensive).
+    d_full = np.zeros((n_nodes, k), np.float32)
+    np.add.at(d_full, (dst[sel], hot_rank[src[sel]]), w[sel])
     a_hh = d_full[hot_ids]
 
     rsel = ~src_hot & ~dst_hot
