@@ -107,6 +107,10 @@ def run_hierarchy(args, p, g, level_labels, n_train, n_val, n_classes):
     def model_factory(in_dim, out_dim):
         return GCN(in_dim, out_dim, n_hidden_gcn=p["n_hidden"], dropout=p["dropout"])
 
+    hk = None if args.hybrid_k in ("off", "none") else (
+        "auto" if args.hybrid_k == "auto" else int(args.hybrid_k)
+    )
+    tkw = {"use_pallas": args.use_pallas, "hybrid_k": hk}
     hier_name = "per-level" if args.hierarchy == "perlevel" else "per-label"
     summary = []
     for seed in args.seeds:
@@ -116,6 +120,7 @@ def run_hierarchy(args, p, g, level_labels, n_train, n_val, n_classes):
             res = train_per_level(
                 gs, level_labels, model_factory,
                 lr=p["lr"], epochs=p["epochs"], seed=seed, verbose=args.verbose,
+                trainer_kwargs=tkw,
             )
             m = res["metrics"]
         else:
@@ -124,6 +129,7 @@ def run_hierarchy(args, p, g, level_labels, n_train, n_val, n_classes):
             ens = train_per_label(
                 gs, y_child, y_parent, model_factory,
                 lr=p["lr"], epochs=p["epochs"], seed=seed, verbose=args.verbose,
+                trainer_kwargs=tkw,
             )
             # ground-truth routing is the reference's quirk (eval_perlabel.py:73)
             m = eval_per_label(
