@@ -125,6 +125,19 @@ def choose_hot_k(src, n_nodes: int, h: int = 128, itemsize: int = 4,
     return best_k
 
 
+@partial(jax.jit, static_argnames=("n_nodes", "k", "compute_dtype"))
+def _scatter_dense_block(dst_sel, rank_sel, w_sel, hot_ids, *, n_nodes, k,
+                         compute_dtype):
+    """Device-side accumulation of D[n, k] = sum w(hot_k -> n) + its hot
+    rows; dtype cast happens on device too (host bf16 conversion of a
+    677 MB block costs ~30 s via ml_dtypes)."""
+    d_full = jnp.zeros((n_nodes, k), jnp.float32)
+    d_full = d_full.at[dst_sel, rank_sel].add(w_sel)
+    a_hh = jnp.take(d_full, hot_ids, axis=0)
+    cd = jnp.dtype(compute_dtype)
+    return d_full.astype(cd), a_hh.astype(cd)
+
+
 def build_hybrid_plan(
     src,
     dst,
@@ -161,13 +174,29 @@ def build_hybrid_plan(
     dst_hot = hot_rank[dst] >= 0
 
     sel = src_hot
-    # direct unbuffered accumulation: one touch of the (N, K) buffer. The
-    # scipy coo->todense route costs ~6x more here — it allocates/faults
-    # three buffers this size and copies the 8-byte index arrays twice
-    # (lazily-backed hosts make every fresh page expensive).
-    d_full = np.zeros((n_nodes, k), np.float32)
-    np.add.at(d_full, (dst[sel], hot_rank[src[sel]]), w[sel])
-    a_hh = d_full[hot_ids]
+    if jax.default_backend() == "cpu":
+        # Host accumulation: XLA CPU scatter is ~40x slower than np.add.at
+        # here, and CPU runs are small-scale tests anyway.
+        d_full = np.zeros((n_nodes, k), np.float32)
+        np.add.at(d_full, (dst[sel], hot_rank[src[sel]]), w[sel])
+        cd = jnp.dtype(compute_dtype)
+        d_full = jnp.asarray(d_full, cd)
+        a_hh = jnp.take(d_full, jnp.asarray(hot_ids), axis=0)
+    else:
+        # On-device accumulation: a host-side np.add.at at bench scale
+        # (E~9M, K=4096 -> 677 MB) costs ~2 min on this lazily page-backed
+        # host (first-touch faults), while shipping just the selected edges
+        # (int32 ids + f32 weights, ~70 MB) and scatter-adding under jit is
+        # seconds. Edge arrays are jit *arguments*, never constants.
+        d_full, a_hh = _scatter_dense_block(
+            jnp.asarray(dst[sel], jnp.int32),
+            jnp.asarray(hot_rank[src[sel]], jnp.int32),
+            jnp.asarray(w[sel]),
+            jnp.asarray(hot_ids),
+            n_nodes=n_nodes,
+            k=k,
+            compute_dtype=compute_dtype,
+        )
 
     rsel = ~src_hot & ~dst_hot
     res_fwd = res_bwd = None
@@ -175,11 +204,10 @@ def build_hybrid_plan(
         res_fwd = _build_tile_plan(src[rsel], dst[rsel], w[rsel], n_nodes)
         res_bwd = _build_tile_plan(dst[rsel], src[rsel], w[rsel], n_nodes)
 
-    cd = jnp.dtype(compute_dtype)
     return HybridPlan(
         hot_ids=jnp.asarray(hot_ids),
-        d_full=jnp.asarray(d_full, cd),
-        a_hh=jnp.asarray(a_hh, cd),
+        d_full=d_full,
+        a_hh=a_hh,
         res_fwd=res_fwd,
         res_bwd=res_bwd,
         n_nodes=n_nodes,
