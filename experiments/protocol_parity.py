@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pytextgcn_tpu import Text2Graph
 from pytextgcn_tpu.data.synthetic import protocol_corpus
-from pytextgcn_tpu.models import GCN
+from pytextgcn_tpu.models import EGCN, GCN
 from pytextgcn_tpu.train import Trainer
 from pytextgcn_tpu.train.results import append_result
 
@@ -104,9 +104,7 @@ def run_hierarchy(args, p, g, level_labels, n_train, n_val, n_classes):
     from pytextgcn_tpu.hierarchy.perlabel import eval_per_label, train_per_label
     from pytextgcn_tpu.hierarchy.perlevel import train_per_level
 
-    def model_factory(in_dim, out_dim):
-        return GCN(in_dim, out_dim, n_hidden_gcn=p["n_hidden"], dropout=p["dropout"])
-
+    model_factory = _model_factory(args, p)
     hk = None if args.hybrid_k in ("off", "none") else (
         "auto" if args.hybrid_k == "auto" else int(args.hybrid_k)
     )
@@ -140,7 +138,8 @@ def run_hierarchy(args, p, g, level_labels, n_train, n_val, n_classes):
         print(f"[jax {hier_name} seed={seed}] acc {m['accuracy']:.4f} "
               f"f1 {m['f1_macro']:.4f} ({dt:.0f}s)", flush=True)
         summary.append((m["accuracy"], m["f1_macro"]))
-        append_result(args.out, seed=seed, model="GCN", hierarchy=hier_name,
+        append_result(args.out, seed=seed, model=args.model.upper(),
+                      hierarchy=hier_name,
                       f1_macro=m["f1_macro"], accuracy=m["accuracy"],
                       dataset=f"synthetic-{args.protocol}", category="jax")
     accs, f1s = zip(*summary)
@@ -153,6 +152,20 @@ def run_hierarchy(args, p, g, level_labels, n_train, n_val, n_classes):
     return summary
 
 
+def _model_factory(args, p):
+    """GCN per the flat protocol, or EGCN (results.csv EGCN rows: same
+    knobs + the reference's embedding_dim=2000 default, models.py:35)."""
+    if args.model == "egcn":
+        def factory(in_dim, out_dim):
+            return EGCN(in_dim, out_dim, embedding_dim=2000,
+                        n_hidden_gcn=p["n_hidden"], dropout=p["dropout"])
+    else:
+        def factory(in_dim, out_dim):
+            return GCN(in_dim, out_dim, n_hidden_gcn=p["n_hidden"],
+                       dropout=p["dropout"])
+    return factory
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--protocol", choices=list(PROTOCOLS), default="amazon")
@@ -162,6 +175,13 @@ def main(argv=None):
                     help="override the protocol's epoch count (0 = protocol "
                     "value; for smoke runs)")
     ap.add_argument("--frameworks", choices=["both", "jax", "torch"], default="both")
+    ap.add_argument(
+        "--model", choices=["gcn", "egcn"], default="gcn",
+        help="EGCN covers the reference's EGCN rows (results.csv:3-5,11-13) "
+        "on the JAX side; the torch cross-check stays GCN (it validates the "
+        "shared SpMM/trainer math; EGCN adds one dense layer covered by "
+        "unit parity tests)",
+    )
     ap.add_argument(
         "--hierarchy", choices=["flat", "perlevel", "perlabel"], default="flat",
         help="run the reference's hierarchy protocols (JAX framework only — "
@@ -179,6 +199,10 @@ def main(argv=None):
     p = dict(PROTOCOLS[args.protocol])
     if args.epochs:
         p["epochs"] = args.epochs
+    if args.model == "egcn" and args.frameworks != "jax":
+        print("[protocol_parity] EGCN runs are JAX-only; forcing --frameworks jax",
+              flush=True)
+        args.frameworks = "jax"
     n_docs = args.n_docs or (50_000 if args.protocol == "amazon" else 60_000)
     g, level_labels, n_train, n_val = build_graph(
         args.protocol, n_docs, args.verbose, hierarchy=args.hierarchy
@@ -192,8 +216,7 @@ def main(argv=None):
     for seed in args.seeds:
         gs = remask(g, args.protocol, n_train, n_val, seed)
         if args.frameworks in ("both", "jax"):
-            model = GCN(gs.in_dim, n_classes, n_hidden_gcn=p["n_hidden"],
-                        dropout=p["dropout"])
+            model = _model_factory(args, p)(gs.in_dim, n_classes)
             hk = None if args.hybrid_k in ("off", "none") else (
                 "auto" if args.hybrid_k == "auto" else int(args.hybrid_k)
             )
@@ -207,7 +230,8 @@ def main(argv=None):
             rows.append(("jax", seed, m))
             print(f"[jax seed={seed}] acc {m['accuracy']:.4f} "
                   f"f1 {m['f1_macro']:.4f} ({m['train_seconds']:.0f}s)", flush=True)
-            append_result(args.out, seed=seed, model="GCN", hierarchy="flat",
+            append_result(args.out, seed=seed, model=args.model.upper(),
+                          hierarchy="flat",
                           f1_macro=m["f1_macro"], accuracy=m["accuracy"],
                           dataset=f"synthetic-{args.protocol}", category="jax")
         if args.frameworks in ("both", "torch"):
