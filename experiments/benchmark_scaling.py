@@ -32,6 +32,11 @@ def main(argv=None):
         help="fraction of edges whose endpoints share a shard (text graphs "
         "partitioned well have high locality; 0 = uniform random)",
     )
+    p.add_argument(
+        "--hot-k", default="2048",
+        help="'off' | 'auto' | int — hot-set size for the hybrid-sharded "
+        "mode (dense-hot MXU blocks + halo'd cold residual)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -39,7 +44,12 @@ def main(argv=None):
 
     from pytextgcn_tpu.core.graph import TextGraph
     from pytextgcn_tpu.ops.spmm import spmm
-    from pytextgcn_tpu.parallel import build_halo_adj, build_sharded_adj, make_mesh
+    from pytextgcn_tpu.parallel import (
+        build_halo_adj,
+        build_hybrid_sharded_adj,
+        build_sharded_adj,
+        make_mesh,
+    )
     from pytextgcn_tpu.parallel.halo import spmm_halo
 
     n_dev_avail = len(jax.devices())
@@ -47,21 +57,31 @@ def main(argv=None):
 
     rng = np.random.default_rng(0)
     n, e = args.n_nodes, args.n_edges
-    dst = rng.integers(0, n, e).astype(np.int32)
-    # locality: most sources land in the destination's region (graphs
+    # symmetric pairs (real normalized text adjacencies store both
+    # directions — the hybrid decomposition's transposed-D term relies on
+    # it); Zipfian endpoint skew gives the hot set something to absorb
+    half = e // 2
+    zipf_p = 1.0 / np.arange(1, n + 1, dtype=np.float64) ** 1.05
+    zipf_p /= zipf_p.sum()
+    a = rng.choice(n, half, p=zipf_p).astype(np.int32)
+    # locality: most counterparts land in the endpoint's region (graphs
     # partitioned by a locality-aware order behave like this); the rest
     # are uniform — those form the halo
-    local = rng.random(e) < args.local_frac
+    local = rng.random(half) < args.local_frac
     region = 2048
-    src = np.where(
+    b = np.where(
         local,
-        (dst + rng.integers(-region, region, e)) % n,
-        rng.integers(0, n, e),
+        (a + rng.integers(-region, region, half)) % n,
+        rng.integers(0, n, half),
     ).astype(np.int32)
+    w_half = (rng.random(half) + 0.05).astype(np.float32)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    e = len(src)
     g = TextGraph(
         edge_src=src,
         edge_dst=dst,
-        edge_w=(rng.random(e) + 0.05).astype(np.float32),
+        edge_w=np.concatenate([w_half, w_half]),
         y=np.zeros(n, np.int32),
         train_mask=np.zeros(n, bool),
         val_mask=np.zeros(n, bool),
@@ -72,21 +92,31 @@ def main(argv=None):
     x = jnp.asarray(rng.standard_normal((n, args.hidden)).astype(np.float32))
     row_bytes = args.hidden * 4
 
+    hot_k = args.hot_k if args.hot_k in ("off", "auto") else int(args.hot_k)
+
     base_rate = None
     for d in dev_counts:
         mesh = make_mesh(d)
         rows_per = -(-n // d)
-        for name in ("allgather", "halo"):
+        for name in ("allgather", "halo", "hybrid"):
             if name == "allgather":
                 adj = build_sharded_adj(g, mesh)
                 fn = jax.jit(lambda a, v: spmm(a, v))
                 # all_gather reassembles the full activation on every device
                 comm_rows = (d - 1) * rows_per
-            else:
+            elif name == "halo":
                 if d == 1:
                     continue
                 adj = build_halo_adj(g, mesh)
                 fn = jax.jit(lambda a, v: spmm_halo(a, v))
+                comm_rows = adj.comm_rows_per_device
+            else:
+                if d == 1 or hot_k == "off":
+                    continue
+                adj = build_hybrid_sharded_adj(g, mesh, hot_k=hot_k)
+                if adj is None:  # cost model: no exploitable hot set
+                    continue
+                fn = jax.jit(lambda a, v: spmm(a, v))
                 comm_rows = adj.comm_rows_per_device
             out = fn(adj, x)
             jax.block_until_ready(out)

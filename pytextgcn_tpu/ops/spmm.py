@@ -32,8 +32,11 @@ def spmm_segment(adj: NormAdj, x: jax.Array) -> jax.Array:
 
 def spmm(adj, x: jax.Array) -> jax.Array:
     from ..parallel.halo import HaloAdj, spmm_halo
+    from ..parallel.hybrid_sharded import HybridShardedAdj, spmm_hybrid_sharded
     from ..parallel.sharded import ShardedAdj, spmm_sharded
 
+    if isinstance(adj, HybridShardedAdj):
+        return spmm_hybrid_sharded(adj, x)
     if isinstance(adj, HaloAdj):
         return spmm_halo(adj, x)
     if isinstance(adj, ShardedAdj):

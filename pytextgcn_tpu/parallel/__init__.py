@@ -1,4 +1,9 @@
-from .halo import HaloAdj, build_halo_adj, spmm_halo
+from .halo import HaloAdj, build_halo_adj, build_halo_core, spmm_halo
+from .hybrid_sharded import (
+    HybridShardedAdj,
+    build_hybrid_sharded_adj,
+    spmm_hybrid_sharded,
+)
 from .multihost import global_mesh, host_local_mesh, init_distributed
 from .tensor import apply_tp, tp_param_shardings
 from .sharded import (
@@ -12,7 +17,11 @@ from .sharded import (
 __all__ = [
     "HaloAdj",
     "build_halo_adj",
+    "build_halo_core",
     "spmm_halo",
+    "HybridShardedAdj",
+    "build_hybrid_sharded_adj",
+    "spmm_hybrid_sharded",
     "ShardedAdj",
     "build_sharded_adj",
     "make_mesh",

@@ -94,12 +94,27 @@ class HaloAdj:
 def build_halo_adj(g: TextGraph, mesh: Mesh, axis: str = "graph") -> HaloAdj:
     """Host-side plan: partition rows, split edges into own/remote-by-step,
     compute per-(sender, step) unique halo row lists."""
-    d = mesh.shape[axis]
     src = np.asarray(g.edge_src, np.int64)
     dst = np.asarray(g.edge_dst, np.int64)
     norm_w, self_w = gcn_normalize_np(src, dst, np.asarray(g.edge_w), g.n_nodes)
+    return build_halo_core(src, dst, norm_w, self_w, g.n_nodes, mesh, axis)
 
-    rows_per = -(-g.n_nodes // d)
+
+def build_halo_core(
+    src: np.ndarray,
+    dst: np.ndarray,
+    norm_w: np.ndarray,
+    self_w: np.ndarray,
+    n_nodes: int,
+    mesh: Mesh,
+    axis: str = "graph",
+) -> HaloAdj:
+    """Halo plan over an already-normalized edge list (the hybrid-sharded
+    path routes only its cold-cold residual through here, with the true
+    self-loop diagonal carried along)."""
+    d = mesh.shape[axis]
+
+    rows_per = -(-n_nodes // d)
     n_pad = rows_per * d
     dst_shard = dst // rows_per
     src_shard = src // rows_per
@@ -155,7 +170,7 @@ def build_halo_adj(g: TextGraph, mesh: Mesh, axis: str = "graph") -> HaloAdj:
             send_idx[snd, s, : len(uniq)] = uniq
 
     self_pad = np.zeros(n_pad, np.float32)
-    self_pad[: g.n_nodes] = self_w
+    self_pad[:n_nodes] = self_w
 
     shard = lambda a, spec: put_global(mesh, spec, a)
     return HaloAdj(
@@ -167,7 +182,7 @@ def build_halo_adj(g: TextGraph, mesh: Mesh, axis: str = "graph") -> HaloAdj:
         rem_dst=shard(rem_dst, P(axis)),
         rem_w=shard(rem_w, P(axis)),
         self_w=shard(self_pad.reshape(d, rows_per), P(axis)),
-        n_nodes=g.n_nodes,
+        n_nodes=n_nodes,
         rows_per=rows_per,
         mesh=mesh,
         axis=axis,

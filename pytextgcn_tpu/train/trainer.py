@@ -128,7 +128,18 @@ class Trainer:
             if self.mesh is not None and self.halo:
                 from ..parallel.halo import build_halo_adj
 
-                self._adj = build_halo_adj(g, self.mesh)
+                self._adj = None
+                if self.hybrid_k is not None:
+                    from ..parallel.hybrid_sharded import build_hybrid_sharded_adj
+
+                    # sharded hybrid: dense hot blocks on each shard's MXU,
+                    # cold residual through the halo exchange (None when the
+                    # cost model says the graph has no exploitable hot set)
+                    self._adj = build_hybrid_sharded_adj(
+                        g, self.mesh, hot_k=self.hybrid_k
+                    )
+                if self._adj is None:
+                    self._adj = build_halo_adj(g, self.mesh)
             elif self.mesh is not None:
                 from ..parallel.sharded import build_sharded_adj
 

@@ -1,0 +1,146 @@
+"""Sharded hybrid SpMM (parallel/hybrid_sharded.py): dense-hot MXU blocks per
+shard + halo'd cold residual must equal the single-device SpMM forward and
+backward, keep activations row-sharded, and move only O(K + halo) rows."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytextgcn_tpu.core.graph import TextGraph
+from pytextgcn_tpu.models import GCN
+from pytextgcn_tpu.ops.adjacency import NormAdj
+from pytextgcn_tpu.ops.spmm import spmm, spmm_segment
+from pytextgcn_tpu.parallel import (
+    HybridShardedAdj,
+    build_hybrid_sharded_adj,
+    make_mesh,
+)
+from pytextgcn_tpu.train import Trainer
+
+
+def _sym_graph(n_vocab=300, n_docs=200, n_edges=8000, seed=0):
+    # symmetric pairs with Zipfian endpoints, like a real normalized adjacency
+    rng = np.random.default_rng(seed)
+    n = n_vocab + n_docs
+    p = 1.0 / np.arange(1, n + 1) ** 1.1
+    p /= p.sum()
+    a = rng.choice(n, n_edges // 2, p=p).astype(np.int32)
+    b = rng.choice(n, n_edges // 2, p=p).astype(np.int32)
+    w_half = (rng.random(n_edges // 2) + 0.05).astype(np.float32)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    w = np.concatenate([w_half, w_half])
+    zeros = np.zeros(n, bool)
+    tm = zeros.copy()
+    tm[n_vocab:] = True
+    return TextGraph(
+        edge_src=src, edge_dst=dst, edge_w=w,
+        y=rng.integers(0, 3, n).astype(np.int32),
+        train_mask=tm, val_mask=zeros, test_mask=zeros,
+        n_vocab=n_vocab, n_docs=n_docs,
+    )
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_hybrid_sharded_forward_matches_single(n_dev):
+    g = _sym_graph(seed=n_dev)
+    mesh = make_mesh(n_dev)
+    adj = build_hybrid_sharded_adj(g, mesh, hot_k=128)
+    assert isinstance(adj, HybridShardedAdj)
+    adj_ref = NormAdj.from_graph(g)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((g.n_nodes, 12)), jnp.float32
+    )
+    got = jax.jit(spmm)(adj, x)
+    ref = spmm_segment(adj_ref, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_hybrid_sharded_gradient_matches_single():
+    g = _sym_graph(seed=7)
+    mesh = make_mesh(4)
+    adj = build_hybrid_sharded_adj(g, mesh, hot_k=128)
+    adj_ref = NormAdj.from_graph(g)
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((g.n_nodes, 8)), jnp.float32
+    )
+    ct = jnp.asarray(
+        np.random.default_rng(3).standard_normal((g.n_nodes, 8)), jnp.float32
+    )
+    g_h = jax.jit(jax.grad(lambda v: jnp.vdot(spmm(adj, v), ct)))(x)
+    g_ref = jax.grad(lambda v: jnp.vdot(spmm_segment(adj_ref, v), ct))(x)
+    np.testing.assert_allclose(np.asarray(g_h), np.asarray(g_ref), rtol=2e-5, atol=2e-5)
+
+
+def test_hybrid_sharded_empty_residual():
+    # K covers every node: the residual halo carries only the self-loop term
+    g = _sym_graph(n_vocab=40, n_docs=40, n_edges=1200, seed=11)
+    mesh = make_mesh(4)
+    adj = build_hybrid_sharded_adj(g, mesh, hot_k=g.n_nodes)
+    adj_ref = NormAdj.from_graph(g)
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((g.n_nodes, 8)), jnp.float32
+    )
+    got = jax.jit(spmm)(adj, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(spmm_segment(adj_ref, x)), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_hybrid_sharded_comm_volume():
+    # wire rows per device per SpMM stay O(K + halo), far below the
+    # (D-1) * rows_per the naive all_gather path replicates
+    g = _sym_graph(n_vocab=800, n_docs=800, n_edges=20000, seed=5)
+    mesh = make_mesh(8)
+    adj = build_hybrid_sharded_adj(g, mesh, hot_k=128)
+    allgather_rows = (8 - 1) * adj.rows_per
+    assert adj.comm_rows_per_device < allgather_rows, (
+        adj.comm_rows_per_device,
+        allgather_rows,
+    )
+
+
+def test_hybrid_sharded_end_to_end_training():
+    g = _sym_graph(seed=9)
+    mesh = make_mesh(4)
+    t_hs = Trainer(
+        GCN(g.in_dim, 3, n_hidden_gcn=16, dropout=0.5),
+        seed=4, mesh=mesh, halo=True, hybrid_k=128,
+    )
+    t_ref = Trainer(GCN(g.in_dim, 3, n_hidden_gcn=16, dropout=0.5), seed=4)
+    h_hs = t_hs.fit(g, epochs=10, n_classes=3)
+    h_ref = t_ref.fit(g, epochs=10, n_classes=3)
+    np.testing.assert_allclose(
+        [r["loss"] for r in h_hs], [r["loss"] for r in h_ref], rtol=5e-4, atol=1e-5
+    )
+    m = t_hs.evaluate(g, n_classes=3)
+    assert 0.0 <= m["accuracy"] <= 1.0
+
+
+def test_hybrid_sharded_auto_fallback():
+    # hot_k='auto' on a tiny uniform graph: build returns None and the
+    # Trainer falls back to the pure halo plan (still trains correctly)
+    rng = np.random.default_rng(13)
+    n_vocab, n_docs, n_edges = 30, 30, 400
+    n = n_vocab + n_docs
+    a = rng.integers(0, n, n_edges // 2).astype(np.int32)
+    b = rng.integers(0, n, n_edges // 2).astype(np.int32)
+    w_half = (rng.random(n_edges // 2) + 0.05).astype(np.float32)
+    zeros = np.zeros(n, bool)
+    tm = zeros.copy()
+    tm[n_vocab:] = True
+    g = TextGraph(
+        edge_src=np.concatenate([a, b]), edge_dst=np.concatenate([b, a]),
+        edge_w=np.concatenate([w_half, w_half]),
+        y=rng.integers(0, 3, n).astype(np.int32),
+        train_mask=tm, val_mask=zeros, test_mask=zeros,
+        n_vocab=n_vocab, n_docs=n_docs,
+    )
+    mesh = make_mesh(4)
+    t = Trainer(
+        GCN(g.in_dim, 3, n_hidden_gcn=8, dropout=0.0),
+        seed=1, mesh=mesh, halo=True, hybrid_k="auto",
+    )
+    hist = t.fit(g, epochs=3, n_classes=3)
+    assert np.isfinite(hist[-1]["loss"])
