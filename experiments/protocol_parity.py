@@ -177,10 +177,9 @@ def main(argv=None):
     ap.add_argument("--frameworks", choices=["both", "jax", "torch"], default="both")
     ap.add_argument(
         "--model", choices=["gcn", "egcn"], default="gcn",
-        help="EGCN covers the reference's EGCN rows (results.csv:3-5,11-13) "
-        "on the JAX side; the torch cross-check stays GCN (it validates the "
-        "shared SpMM/trainer math; EGCN adds one dense layer covered by "
-        "unit parity tests)",
+        help="EGCN covers the reference's EGCN rows (results.csv:3-5,11-13); "
+        "both frameworks support it in flat mode (the torch side implements "
+        "the embedding head independently, torch_reference.py)",
     )
     ap.add_argument(
         "--hierarchy", choices=["flat", "perlevel", "perlabel"], default="flat",
@@ -199,9 +198,9 @@ def main(argv=None):
     p = dict(PROTOCOLS[args.protocol])
     if args.epochs:
         p["epochs"] = args.epochs
-    if args.model == "egcn" and args.frameworks != "jax":
-        print("[protocol_parity] EGCN runs are JAX-only; forcing --frameworks jax",
-              flush=True)
+    if args.model == "egcn" and args.hierarchy != "flat" and args.frameworks != "jax":
+        print("[protocol_parity] torch cross-check covers flat mode only; "
+              "forcing --frameworks jax for hierarchy EGCN", flush=True)
         args.frameworks = "jax"
     n_docs = args.n_docs or (50_000 if args.protocol == "amazon" else 60_000)
     g, level_labels, n_train, n_val = build_graph(
@@ -240,12 +239,13 @@ def main(argv=None):
             m = train_torch_reference(
                 gs, n_classes, epochs=p["epochs"], lr=p["lr"],
                 dropout=p["dropout"], n_hidden=p["n_hidden"], seed=seed,
-                verbose=args.verbose,
+                verbose=args.verbose, model=args.model,
             )
             rows.append(("torch", seed, m))
             print(f"[torch seed={seed}] acc {m['accuracy']:.4f} "
                   f"f1 {m['f1_macro']:.4f} ({m['train_seconds']:.0f}s)", flush=True)
-            append_result(args.out, seed=seed, model="GCN", hierarchy="flat",
+            append_result(args.out, seed=seed, model=args.model.upper(),
+                          hierarchy="flat",
                           f1_macro=m["f1_macro"], accuracy=m["accuracy"],
                           dataset=f"synthetic-{args.protocol}", category="torch")
 

@@ -56,6 +56,8 @@ def train_torch_reference(
     seed: int = 42,
     verbose: int = 0,
     eval_every: int = 50,
+    model: str = "gcn",
+    embedding_dim: int = 2000,
 ):
     """Train the reference-formulation 2-layer GCN; returns test metrics.
 
@@ -64,6 +66,12 @@ def train_torch_reference(
     structure makes layer 1 ``A_hat @ W1`` — the N x N identity is never
     materialized, matching what the sparse feature matrix gives torch in the
     reference.
+
+    ``model='egcn'`` prepends the reference's embedding head (``Linear(in,
+    2000)`` + SELU + dropout, models.py:35-44) and keeps its quirk of
+    dropout after *every* GCN layer including the logits (the always-true
+    loop condition at models.py:46-50). With identity features the embedding
+    collapses to ``W_embᵀ + b`` — same structure the JAX EGCN exploits.
     """
     import torch
     from sklearn.metrics import accuracy_score, f1_score
@@ -75,8 +83,9 @@ def train_torch_reference(
     n = g.n_nodes
     a_hat = _normalized_adj(g, torch.float32)
 
+    in_gcn = embedding_dim if model == "egcn" else n
     # glorot init, like PyG 1.6.3's GCNConv.reset_parameters
-    w1 = torch.empty(n, n_hidden)
+    w1 = torch.empty(in_gcn, n_hidden)
     w2 = torch.empty(n_hidden, n_classes)
     torch.nn.init.xavier_uniform_(w1)
     torch.nn.init.xavier_uniform_(w2)
@@ -84,15 +93,29 @@ def train_torch_reference(
     w2.requires_grad_(True)
     b1 = torch.zeros(n_hidden, requires_grad=True)
     b2 = torch.zeros(n_classes, requires_grad=True)
+    params = [w1, b1, w2, b2]
+    if model == "egcn":
+        # nn.Linear default init (kaiming_uniform a=sqrt(5), fan_in = n),
+        # exactly what the reference's embedding layer gets
+        emb = torch.nn.Linear(n, embedding_dim)
+        params += list(emb.parameters())
 
     y = torch.from_numpy(np.asarray(g.y, np.int64))
     train_mask = torch.from_numpy(np.asarray(g.train_mask))
     test_mask = np.asarray(g.test_mask)
-    opt = torch.optim.Adam([w1, b1, w2, b2], lr=lr, amsgrad=True)
+    opt = torch.optim.Adam(params, lr=lr, amsgrad=True)
     ce = torch.nn.CrossEntropyLoss()
     drop = torch.nn.Dropout(dropout)
 
     def forward(train: bool):
+        if model == "egcn":
+            h = emb.weight.T + emb.bias  # identity feats: I @ W_embᵀ == W_embᵀ
+            h = torch.selu(h)
+            h = drop(h) if train else h
+            h = torch.sparse.mm(a_hat, h @ w1) + b1
+            h = drop(h) if train else h  # EGCN quirk: dropout after every layer
+            h = torch.sparse.mm(a_hat, h @ w2) + b2
+            return drop(h) if train else h  # ... including the logits
         h = torch.sparse.mm(a_hat, w1) + b1  # identity feats: X @ W1 == W1
         h = drop(h) if train else h
         return torch.sparse.mm(a_hat, h @ w2) + b2
