@@ -53,12 +53,17 @@ def beta_graph(n_vocab=30_000, n_docs=20_000, n_edges=2_000_000):
 
     rng = np.random.default_rng(0)
     n = n_vocab + n_docs
-    src = (n * rng.beta(0.6, 2.0, n_edges)).astype(np.int32) % n
-    dst = (n * rng.beta(0.6, 2.0, n_edges)).astype(np.int32) % n
+    # half the edges drawn, then mirrored: hybrid's dense-hot decomposition
+    # requires a weight-symmetric adjacency (ops/hybrid.py), like the real
+    # Text2Graph output; total edge count stays n_edges
+    m = n_edges // 2
+    a = (n * rng.beta(0.6, 2.0, m)).astype(np.int32) % n
+    b = (n * rng.beta(0.6, 2.0, m)).astype(np.int32) % n
+    hw = (rng.random(m) + 0.05).astype(np.float32)
     zeros = np.zeros(n, bool)
     return TextGraph(
-        edge_src=src, edge_dst=dst,
-        edge_w=(rng.random(n_edges) + 0.05).astype(np.float32),
+        edge_src=np.concatenate([a, b]), edge_dst=np.concatenate([b, a]),
+        edge_w=np.concatenate([hw, hw]),
         y=np.zeros(n, np.int32), train_mask=zeros, val_mask=zeros,
         test_mask=zeros, n_vocab=n_vocab, n_docs=n_docs,
     )

@@ -251,13 +251,17 @@ def train_mlp(
                     stop = (e > min_epochs) & (e >= patience) & (dec >= patience)
                 return p, o, e + 1, stop, loss_buf, f1_buf
 
+            # buffers sized for the ES window even on short runs, so the
+            # (patience+1)-wide dynamic_slice is always in bounds; the
+            # e >= patience gate keeps the padding out of any decision
+            buf_len = max(epochs, patience + 1)
             init = (
                 params,
                 opt_state,
                 jnp.zeros((), jnp.int32),
                 jnp.zeros((), bool),
-                jnp.zeros(epochs, jnp.float32),
-                jnp.zeros(epochs, jnp.float32),
+                jnp.zeros(buf_len, jnp.float32),
+                jnp.zeros(buf_len, jnp.float32),
             )
             return jax.lax.while_loop(
                 lambda c: (c[2] < epochs) & ~c[3], body, init

@@ -252,22 +252,29 @@ def _iter_chunks(tokens: np.ndarray, window_size: int, chunk_pair_budget: int):
             yield chunk, idx.size
 
 
+def _materialize_counted(item):
+    """Pull one chunk's device buffers to host, freeing them on device."""
+    (ua, ub, cnt, n_unique, n_win), filler = item
+    n_unique = int(n_unique)
+    # every row — real or filler — counts its unconditional j==0
+    # window (graphbuilder.pyx:98-101); subtract the filler rows'.
+    return (
+        np.asarray(ua[:n_unique]),
+        np.asarray(ub[:n_unique]),
+        np.asarray(cnt[:n_unique]),
+        int(n_win) - filler,
+    )
+
+
 def _finalize_counted(pending, n_vocab: int):
     """Materialize per-chunk device results, merge pair lists, run PMI."""
-    parts = []
-    total_windows = 0
-    for (ua, ub, cnt, n_unique, n_win), filler in pending:
-        n_unique = int(n_unique)
-        # every row — real or filler — counts its unconditional j==0
-        # window (graphbuilder.pyx:98-101); subtract the filler rows'.
-        total_windows += int(n_win) - filler
-        parts.append(
-            (
-                np.asarray(ua[:n_unique]),
-                np.asarray(ub[:n_unique]),
-                np.asarray(cnt[:n_unique]),
-            )
-        )
+    materialized = [_materialize_counted(item) for item in pending]
+    return _finalize_materialized(materialized, n_vocab)
+
+
+def _finalize_materialized(materialized, n_vocab: int):
+    total_windows = sum(w for *_, w in materialized)
+    parts = [(a, b, c) for a, b, c, _ in materialized]
     if not parts:
         return np.zeros((0, 2), np.int32), np.zeros(0, np.float32), 0
     a, b, c = _merge_pair_lists(parts)
@@ -287,11 +294,18 @@ def word_word_edges_device(
     Returns (coo [E,2] int32, weights [E] float32, n_windows).
     """
     tokens = np.ascontiguousarray(tokens, dtype=np.int32)
-    pending = [
-        (_pair_count_chunk(jnp.asarray(chunk), window_size), chunk.shape[0] - n_real)
-        for chunk, n_real in _iter_chunks(tokens, window_size, chunk_pair_budget)
-    ]
-    return _finalize_counted(pending, n_vocab)
+    # bounded pipeline: keep two chunks in flight (dispatch overlaps the
+    # previous chunk's host pull) but never more — each chunk's unique-pair
+    # buffers are budget-sized, so unbounded retention can exhaust HBM on
+    # single-device runs with many chunks
+    in_flight, materialized = [], []
+    for chunk, n_real in _iter_chunks(tokens, window_size, chunk_pair_budget):
+        out = _pair_count_chunk(jnp.asarray(chunk), window_size)
+        in_flight.append((out, chunk.shape[0] - n_real))
+        if len(in_flight) >= 2:
+            materialized.append(_materialize_counted(in_flight.pop(0)))
+    materialized.extend(_materialize_counted(item) for item in in_flight)
+    return _finalize_materialized(materialized, n_vocab)
 
 
 def word_word_edges_sharded(

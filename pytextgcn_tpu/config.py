@@ -147,7 +147,7 @@ def hybrid_k_arg(cfg: TrainConfig):
     if v == "auto":
         return "auto"
     try:
-        return int(v)
+        return int(v) or None  # 0 = off, like 'off'
     except ValueError:
         raise SystemExit(
             f"--train-hybrid-k must be 'off', 'auto', 'auto-tpu', or an "

@@ -195,6 +195,19 @@ def _train_per_label_ep(
 
     trainer_kwargs = dict(trainer_kwargs or {})
     use_pallas = bool(trainer_kwargs.pop("use_pallas", False))
+    # honor a caller-supplied update rule (it stays in trainer_kwargs too,
+    # so the returned Trainers refit with the same rule they trained under)
+    optimizer = trainer_kwargs.get("optimizer")
+    if trainer_kwargs.get("hybrid_k") is not None:
+        import warnings
+
+        # the vmapped EP step has not been validated through the batched
+        # hybrid/Pallas dispatch; members train on the segment/Pallas path
+        warnings.warn(
+            "train_per_label(mesh=...): hybrid_k is ignored inside the "
+            "vmapped EP step (applies to the returned Trainers only)",
+            stacklevel=2,
+        )
     y_child = np.asarray(y_child, np.int64)
     y_parent = np.asarray(y_parent, np.int64)
     n_parents = int(y_parent.max()) + 1
@@ -233,7 +246,7 @@ def _train_per_label_ep(
     feats = NodeFeatures.from_graph(g)
     model_pad = models[int(np.argmax(c_list))]  # apply() reads shapes from params
 
-    opt = optax.amsgrad(lr)
+    opt = optimizer if optimizer is not None else optax.amsgrad(lr)
     opt_state = jax.jit(jax.vmap(opt.init))(stacked)
 
     @jax.jit

@@ -138,6 +138,35 @@ def _scatter_dense_block(dst_sel, rank_sel, w_sel, hot_ids, *, n_nodes, k,
     return d_full.astype(cd), a_hh.astype(cd)
 
 
+def check_weight_symmetric(src, dst, w, sel=None):
+    """Verify the (selected) edge list is weight-symmetric: every edge
+    (i, j, w) has a mirror (j, i, w). The hybrid decomposition's
+    hot-destination term computes ``D^T @ x`` — substituting outgoing hot
+    weights for incoming ones — so it is exact ONLY under this symmetry
+    (which Text2Graph guarantees: PMI edges are emitted in both directions,
+    doc<->word edges carry the same TF-IDF both ways). Raises ValueError on
+    the first asymmetric input instead of silently computing a wrong SpMM.
+    """
+    if sel is not None:
+        src, dst, w = src[sel], dst[sel], w[sel]
+    o1 = np.lexsort((w, dst, src))
+    o2 = np.lexsort((w, src, dst))
+    # weights compare with a tight relative tolerance: symmetric
+    # normalization computes (dinv_i*w)*dinv_j vs (dinv_j*w)*dinv_i, which
+    # differ in the last ulp
+    if not (
+        np.array_equal(src[o1], dst[o2])
+        and np.array_equal(dst[o1], src[o2])
+        and np.allclose(w[o1], w[o2], rtol=1e-5, atol=1e-12)
+    ):
+        raise ValueError(
+            "hybrid SpMM requires a weight-symmetric adjacency (every edge "
+            "(i,j,w) mirrored as (j,i,w)) for edges touching the hot set; "
+            "this edge list is directed or half-stored. Use the segment or "
+            "Pallas path (hybrid_k=None) for non-symmetric operators."
+        )
+
+
 def build_hybrid_plan(
     src,
     dst,
@@ -146,9 +175,12 @@ def build_hybrid_plan(
     hot_k="auto",
     compute_dtype: str = "float32",
     h_hint: int = 128,
+    validate: bool = True,
 ) -> Optional[HybridPlan]:
-    """Host-side construction. ``hot_k``: int, or 'auto' to pick by cost
-    model (returns None if the model says pure-Pallas wins)."""
+    """Host-side construction. ``hot_k``: int (0 = disabled), or 'auto' to
+    pick by cost model (returns None if the model says pure-Pallas wins).
+    ``validate=False`` skips the weight-symmetry precondition check — only
+    for timing probes where the numeric result is discarded."""
     from .spmm_pallas import _build_tile_plan
 
     src = np.asarray(src, np.int64)
@@ -157,8 +189,8 @@ def build_hybrid_plan(
     itemsize = jnp.dtype(compute_dtype).itemsize
     if hot_k == "auto":
         hot_k = choose_hot_k(src, n_nodes, h=h_hint, itemsize=itemsize, dst=dst)
-        if hot_k == 0:
-            return None
+    if not hot_k:  # 0/None: the decomposition is off, pure sparse path wins
+        return None
     k = int(min(hot_k, n_nodes))
     if k >= 128:
         k = (k // 128) * 128  # MXU-aligned when the graph allows it
@@ -172,6 +204,8 @@ def build_hybrid_plan(
 
     src_hot = hot_rank[src] >= 0
     dst_hot = hot_rank[dst] >= 0
+    if validate:
+        check_weight_symmetric(src, dst, w, sel=src_hot | dst_hot)
 
     sel = src_hot
     if jax.default_backend() == "cpu":

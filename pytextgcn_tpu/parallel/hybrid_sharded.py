@@ -106,7 +106,11 @@ def build_hybrid_sharded_adj(
 ) -> Optional[HybridShardedAdj]:
     """Host-side build. Returns None when the cost model says the hot set
     is not worth it (caller falls back to the pure halo path)."""
-    from ..ops.hybrid import choose_hot_k
+    from ..ops.hybrid import (
+        _scatter_dense_block,
+        check_weight_symmetric,
+        choose_hot_k,
+    )
 
     d = mesh.shape[axis]
     src = np.asarray(g.edge_src, np.int64)
@@ -135,12 +139,32 @@ def build_hybrid_sharded_adj(
 
     src_hot = hot_rank[src] >= 0
     dst_hot = hot_rank[dst] >= 0
+    # like the single-device hybrid: the hot-destination D^T term is exact
+    # only for weight-symmetric adjacencies
+    check_weight_symmetric(src, dst, norm_w, sel=src_hot | dst_hot)
 
-    # dense block, built once into the padded row space then row-sharded
+    # dense block, built once into the padded row space then row-sharded;
+    # same backend switch as ops/hybrid.py — host np.add.at costs minutes
+    # at bench scale on this lazily page-backed host, the jitted scatter
+    # seconds (and XLA CPU scatter is ~40x slower than np.add.at, so CPU
+    # test meshes keep the host path)
     sel = src_hot
-    d_full = np.zeros((n_pad, k), np.float32)
-    np.add.at(d_full, (dst[sel], hot_rank[src[sel]]), norm_w[sel])
-    a_hh = d_full[hot_ids]
+    cd = jnp.dtype(compute_dtype)
+    if jax.default_backend() == "cpu":
+        d_full = np.zeros((n_pad, k), np.float32)
+        np.add.at(d_full, (dst[sel], hot_rank[src[sel]]), norm_w[sel])
+        a_hh = jnp.asarray(d_full[hot_ids], cd)
+        d_full = jnp.asarray(d_full, cd)
+    else:
+        d_full, a_hh = _scatter_dense_block(
+            jnp.asarray(dst[sel], jnp.int32),
+            jnp.asarray(hot_rank[src[sel]], jnp.int32),
+            jnp.asarray(norm_w[sel], jnp.float32),
+            jnp.asarray(hot_ids, jnp.int32),
+            n_nodes=n_pad,
+            k=k,
+            compute_dtype=compute_dtype,
+        )
 
     # per-shard hot ownership (hot_ids ascending => per-shard runs are
     # contiguous slices)
@@ -163,12 +187,11 @@ def build_hybrid_sharded_adj(
         src[rsel], dst[rsel], norm_w[rsel], self_w, n_nodes, mesh, axis
     )
 
-    cd = jnp.dtype(compute_dtype)
     return HybridShardedAdj(
-        d_blk=put_global(mesh, P(axis), d_full.reshape(d, rows_per, k).astype(cd)),
+        d_blk=put_global(mesh, P(axis), d_full.reshape(d, rows_per, k)),
         hot_rows=put_global(mesh, P(axis), hot_rows),
         hot_ranks=put_global(mesh, P(axis), hot_ranks),
-        a_hh=replicate_global(mesh, a_hh.astype(cd)),
+        a_hh=replicate_global(mesh, a_hh),
         hot_unpack=replicate_global(mesh, hot_unpack),
         halo_res=halo_res,
         n_nodes=n_nodes,

@@ -49,7 +49,10 @@ def put_global(mesh: Mesh, spec: P, arr: np.ndarray) -> jax.Array:
     would cost on entry to ``shard_map``."""
     from jax.sharding import NamedSharding
 
-    arr = np.asarray(arr)
+    if not isinstance(arr, jax.Array):
+        # device-built arrays (e.g. the hybrid D block) stay on device:
+        # shard slices move device-to-device instead of round-tripping host
+        arr = np.asarray(arr)
     return jax.make_array_from_callback(
         arr.shape, NamedSharding(mesh, spec), lambda idx: arr[idx]
     )

@@ -257,9 +257,14 @@ class Trainer:
                             history.append(rec)
                             break
             history.append(rec)
+            # ES windows live in the in-memory history: on a resumed run
+            # (start_epoch > 0) they restart at the resume point, so the
+            # first window's worth of post-resume epochs can't trigger a
+            # stop that an uninterrupted run would have made.
             if (
                 early_stopping == "reference"
                 and epoch > 5
+                and len(history) >= 5
                 and history[-5]["loss"] < history[-1]["loss"]
             ):
                 if verbose > 0:

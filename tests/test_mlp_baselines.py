@@ -82,3 +82,17 @@ def test_mlp_per_label(splits):
     results = mlp_per_label(splits, **FAST)
     assert len(results) == 2
     assert results[-1]["accuracy"] >= 0.55, results[-1]
+
+
+def test_train_mlp_short_run_with_early_stopping(splits):
+    # regression: the jitted ES window (patience+1 wide) must stay in
+    # bounds when epochs <= patience
+    from pytextgcn_tpu.baselines.mlp_pipeline import train_mlp
+
+    n_classes = int(np.max(splits.y_train[1])) + 1
+    _, _, hist = train_mlp(
+        splits.x_train, splits.y_train[1], splits.x_val, splits.y_val[1],
+        n_classes=n_classes, hidden=(16,), epochs=5, early_stopping=True,
+        patience=10, verbose=0, seed=1,
+    )
+    assert len(hist) == 5

@@ -109,3 +109,18 @@ def test_multihost_utils_single_process():
     assert m.shape["graph"] == len(jax.devices())
     ml = host_local_mesh()
     assert ml.shape["graph"] == len(jax.local_devices())
+
+
+def test_resume_with_reference_early_stopping(tmp_path, small_graph):
+    # regression: the ES window is indexed into the in-memory history; a
+    # resumed run (start_epoch > 0, short history) must not crash on it
+    g = small_graph
+    model = GCN(g.in_dim, 3, n_hidden_gcn=16, dropout=0.5)
+    t = Trainer(model, lr=0.05, seed=7)
+    t.fit(g, epochs=10, n_classes=3)
+    t.save(str(tmp_path / "ck"), epoch=10)
+    t2 = Trainer(GCN(g.in_dim, 3, n_hidden_gcn=16, dropout=0.5), lr=0.05, seed=7)
+    start = t2.restore(str(tmp_path / "ck"))
+    hist = t2.fit(g, epochs=30, n_classes=3, start_epoch=start,
+                  early_stopping="reference")
+    assert 1 <= len(hist) <= 20

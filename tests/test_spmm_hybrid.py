@@ -124,3 +124,29 @@ def test_hybrid_end_to_end_training():
     np.testing.assert_allclose(
         [r["loss"] for r in h_ref], [r["loss"] for r in h_h], rtol=5e-4, atol=1e-5
     )
+
+
+def test_hybrid_rejects_asymmetric_adjacency():
+    # the D^T hot-destination term is only exact for weight-symmetric edge
+    # lists; a directed/half-stored one must raise, not silently be wrong
+    rng = np.random.default_rng(3)
+    n = 400
+    src = rng.integers(0, n, 5000).astype(np.int32)
+    dst = rng.integers(0, n, 5000).astype(np.int32)
+    w = rng.random(5000).astype(np.float32) + 0.05
+    with pytest.raises(ValueError, match="weight-symmetric"):
+        build_hybrid_plan(src, dst, w, n, hot_k=64)
+
+
+def test_hybrid_k_zero_means_off():
+    g = _rand_graph(seed=9)
+    from pytextgcn_tpu.core.graph import gcn_normalize_np as _norm
+
+    w, _ = _norm(np.asarray(g.edge_src), np.asarray(g.edge_dst), g.edge_w, g.n_nodes)
+    assert build_hybrid_plan(g.edge_src, g.edge_dst, w, g.n_nodes, hot_k=0) is None
+
+    from pytextgcn_tpu.config import TrainConfig, hybrid_k_arg
+
+    assert hybrid_k_arg(TrainConfig(hybrid_k="0")) is None
+    assert hybrid_k_arg(TrainConfig(hybrid_k="off")) is None
+    assert hybrid_k_arg(TrainConfig(hybrid_k="128")) == 128
