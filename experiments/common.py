@@ -81,7 +81,16 @@ def load_corpus(cfg: ExperimentConfig, levels=None):
             val_idx = np.arange(n_train, n_train + n_val)
             test_idx = np.arange(n_train + n_val, n)
         if levels and len(levels) > 1:
-            return docs, [np.asarray(l) for l in level_labels], test_idx, val_idx
+            # honor the number of requested levels, top-down like the
+            # reference cascades (perlevel_dbpedia.py l1->l2->l3): asking
+            # for 2 levels of the 3-level dbpedia corpus yields (l1, l2)
+            if len(levels) > len(level_labels):
+                raise SystemExit(
+                    f"{cfg.dataset} has {len(level_labels)} label levels, "
+                    f"{len(levels)} requested"
+                )
+            sel = level_labels[: len(levels)]
+            return docs, [np.asarray(l) for l in sel], test_idx, val_idx
         return docs, [np.asarray(level_labels[-1])], test_idx, val_idx
     # synthetic fallback (2-level hierarchy)
     docs, child, parent = synthetic_corpus(

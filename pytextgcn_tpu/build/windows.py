@@ -322,9 +322,11 @@ def word_word_edges_sharded(
     across devices is EXACT: each device of the mesh counts the windows of
     its contiguous doc shard, per-shard unique-pair lists are merged on the
     host (the same associative merge the chunked single-device path uses),
-    and window totals are summed. All per-chunk dispatches are issued
-    asynchronously before any result is pulled, so the devices count
-    concurrently.
+    and window totals are summed. Chunks are dispatched round-robin across
+    the devices so they count concurrently, but at most two chunks stay in
+    flight per device — the same bound the single-device path applies, for
+    the same reason: each chunk's unique-pair buffers are budget-sized, and
+    retaining every chunk of a large shard would exhaust device memory.
     """
     import jax as _jax
 
@@ -334,16 +336,30 @@ def word_word_edges_sharded(
     tokens = np.ascontiguousarray(tokens, dtype=np.int32)
     n_docs = tokens.shape[0]
     bounds = np.linspace(0, n_docs, len(devices) + 1).astype(np.int64)
-    pending = []
-    for dev, lo, hi in zip(devices, bounds[:-1], bounds[1:]):
-        if hi <= lo:
-            continue
-        for chunk, n_real in _iter_chunks(
-            tokens[lo:hi], window_size, chunk_pair_budget
-        ):
+    streams = [
+        (dev, _iter_chunks(tokens[lo:hi], window_size, chunk_pair_budget))
+        for dev, lo, hi in zip(devices, bounds[:-1], bounds[1:])
+        if hi > lo
+    ]
+    in_flight = [[] for _ in streams]
+    materialized = []
+    exhausted = [False] * len(streams)
+    while not all(exhausted):
+        for i, (dev, chunks) in enumerate(streams):
+            if exhausted[i]:
+                continue
+            nxt = next(chunks, None)
+            if nxt is None:
+                exhausted[i] = True
+                continue
+            chunk, n_real = nxt
             out = _pair_count_chunk(_jax.device_put(chunk, dev), window_size)
-            pending.append((out, chunk.shape[0] - n_real))
-    return _finalize_counted(pending, n_vocab)
+            in_flight[i].append((out, chunk.shape[0] - n_real))
+            if len(in_flight[i]) > 2:
+                materialized.append(_materialize_counted(in_flight[i].pop(0)))
+    for q in in_flight:
+        materialized.extend(_materialize_counted(item) for item in q)
+    return _finalize_materialized(materialized, n_vocab)
 
 
 def word_word_edges(

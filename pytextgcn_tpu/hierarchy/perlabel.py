@@ -279,11 +279,33 @@ def _train_per_label_ep(
             print(f"[EP {epoch + 1}] member losses: {np.asarray(losses)[:n_parents]}")
 
     host = jax.device_get(stacked)
+    opt_host = jax.device_get(opt_state)
+    p_struct = jax.tree_util.tree_structure(jax.tree.map(lambda a: a[0], host))
+
+    def _member_opt_state(i: int, c: int):
+        """Slice member ``i`` out of the vmapped optimizer state and
+        truncate its params-shaped moment buffers (mu/nu/nu_max mirror the
+        padded param tree) to the member's real class count, so the
+        returned Trainer can continue training where the EP step left off."""
+        sliced = jax.tree.map(lambda a: a[i], opt_host)
+
+        def params_like(x):
+            return jax.tree_util.tree_structure(x) == p_struct
+
+        return jax.tree_util.tree_map(
+            lambda x: jax.tree.map(jnp.asarray, _truncate_member_params(x, c))
+            if params_like(x)
+            else x,
+            sliced,
+            is_leaf=params_like,
+        )
+
     trainers: List[Trainer] = []
     for i, (model, c) in enumerate(zip(models, c_list)):
         member = jax.tree.map(lambda a: a[i], host)
         t = Trainer(model, lr=lr, seed=seed, use_pallas=use_pallas, **trainer_kwargs)
         t.params = jax.tree.map(jnp.asarray, _truncate_member_params(member, c))
+        t.opt_state = _member_opt_state(i, c)
         trainers.append(t)
         if save_dir is not None:
             from ..train.checkpoint import save_checkpoint

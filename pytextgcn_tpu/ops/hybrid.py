@@ -187,7 +187,8 @@ def build_hybrid_plan(
     dst = np.asarray(dst, np.int64)
     w = np.asarray(w, np.float32)
     itemsize = jnp.dtype(compute_dtype).itemsize
-    if hot_k == "auto":
+    auto = hot_k == "auto"
+    if auto:
         hot_k = choose_hot_k(src, n_nodes, h=h_hint, itemsize=itemsize, dst=dst)
     if not hot_k:  # 0/None: the decomposition is off, pure sparse path wins
         return None
@@ -205,7 +206,22 @@ def build_hybrid_plan(
     src_hot = hot_rank[src] >= 0
     dst_hot = hot_rank[dst] >= 0
     if validate:
-        check_weight_symmetric(src, dst, w, sel=src_hot | dst_hot)
+        try:
+            check_weight_symmetric(src, dst, w, sel=src_hot | dst_hot)
+        except ValueError:
+            if auto:
+                # under 'auto' a directed/half-stored operator silently
+                # falls back to the pure sparse paths, which are exact for
+                # it; a hard error is reserved for an explicitly forced K
+                import warnings
+
+                warnings.warn(
+                    "hybrid_k='auto': adjacency is not weight-symmetric; "
+                    "falling back to the pure sparse SpMM path",
+                    stacklevel=2,
+                )
+                return None
+            raise
 
     sel = src_hot
     if jax.default_backend() == "cpu":

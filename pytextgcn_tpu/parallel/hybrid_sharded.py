@@ -119,10 +119,11 @@ def build_hybrid_sharded_adj(
     n_nodes = g.n_nodes
 
     itemsize = jnp.dtype(compute_dtype).itemsize
-    if hot_k == "auto":
+    auto = hot_k == "auto"
+    if auto:
         hot_k = choose_hot_k(src, n_nodes, h=h_hint, itemsize=itemsize, dst=dst)
-        if hot_k == 0:
-            return None
+    if not hot_k:  # 0/None disables the hot set (same contract as
+        return None  # ops/hybrid.build_hybrid_plan) -> pure halo path
     k = int(min(hot_k, n_nodes))
     if k >= 128:
         k = (k // 128) * 128
@@ -140,8 +141,21 @@ def build_hybrid_sharded_adj(
     src_hot = hot_rank[src] >= 0
     dst_hot = hot_rank[dst] >= 0
     # like the single-device hybrid: the hot-destination D^T term is exact
-    # only for weight-symmetric adjacencies
-    check_weight_symmetric(src, dst, norm_w, sel=src_hot | dst_hot)
+    # only for weight-symmetric adjacencies; under 'auto' fall back to the
+    # pure halo path (exact for any operator), raise only for a forced K
+    try:
+        check_weight_symmetric(src, dst, norm_w, sel=src_hot | dst_hot)
+    except ValueError:
+        if auto:
+            import warnings
+
+            warnings.warn(
+                "hybrid_k='auto': adjacency is not weight-symmetric; "
+                "falling back to the pure halo-exchange path",
+                stacklevel=2,
+            )
+            return None
+        raise
 
     # dense block, built once into the padded row space then row-sharded;
     # same backend switch as ops/hybrid.py — host np.add.at costs minutes

@@ -60,8 +60,9 @@ def put_global(mesh: Mesh, spec: P, arr: np.ndarray) -> jax.Array:
 
 def replicate_global(mesh: Mesh, arr) -> jax.Array:
     """Replicate an array over every device of a (possibly multi-process)
-    mesh."""
-    return put_global(mesh, P(), np.asarray(arr))
+    mesh. Device-built arrays pass through without a host round-trip
+    (``put_global`` only materializes host arrays)."""
+    return put_global(mesh, P(), arr)
 
 
 @partial(

@@ -52,3 +52,26 @@ def apply_tp(params, mesh: Mesh, axis: str = "model"):
     buffers with ``zeros_like``, which inherits the shardings, so the
     optimizer state comes out correctly distributed for free."""
     return jax.device_put(params, tp_param_shardings(params, mesh, axis))
+
+
+def apply_tp_state(opt_state, params, mesh: Mesh, axis: str = "model"):
+    """Lay out an existing optimizer state (e.g. loaded by
+    ``Trainer.restore``, which materializes replicated host arrays) to
+    match the params' TP shardings. Optax moment buffers mirror the param
+    tree leaf-for-leaf but live inside optimizer-specific containers, so
+    leaves are matched to their param counterpart *by shape*: a moment
+    buffer of the embedding's [in, E] shape gets the embedding's sharding.
+    A shape collision with a replicated param only costs a resharding
+    inside the first jitted step, never correctness."""
+    rep = NamedSharding(mesh, P())
+    by_shape = {}
+    for p, s in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(tp_param_shardings(params, mesh, axis)),
+    ):
+        by_shape.setdefault(tuple(p.shape), s)
+
+    def place(leaf):
+        return jax.device_put(leaf, by_shape.get(tuple(leaf.shape), rep))
+
+    return jax.tree.map(place, opt_state)

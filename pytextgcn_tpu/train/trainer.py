@@ -154,6 +154,25 @@ class Trainer:
         self._feats = NodeFeatures.from_graph(g)
         return self._adj, self._feats
 
+    def _init_state(self, init_key) -> None:
+        """Make params/opt_state ready to train: init whatever is missing,
+        and (re-)apply tensor-parallel shardings — params may have been set
+        externally (restore(), per-label EP slicing) with the optimizer
+        state absent or host-resident, so neither step can hide inside the
+        ``params is None`` branch."""
+        if self.params is None:
+            self.params = self.model.init(init_key)
+        if self.tp_mesh is not None:
+            from ..parallel.tensor import apply_tp, apply_tp_state
+
+            self.params = apply_tp(self.params, self.tp_mesh)
+            if self.opt_state is not None:
+                self.opt_state = apply_tp_state(
+                    self.opt_state, self.params, self.tp_mesh
+                )
+        if self.opt_state is None:
+            self.opt_state = self.optimizer.init(self.params)
+
     # ------------------------------------------------------------------ api
 
     def fit(
@@ -192,13 +211,7 @@ class Trainer:
 
         key = jax.random.PRNGKey(self.seed)
         key, init_key, base_key = jax.random.split(key, 3)
-        if self.params is None:
-            self.params = self.model.init(init_key)
-            if self.tp_mesh is not None:
-                from ..parallel.tensor import apply_tp
-
-                self.params = apply_tp(self.params, self.tp_mesh)
-            self.opt_state = self.optimizer.init(self.params)
+        self._init_state(init_key)
         if start_epoch == 0:
             # each fresh fit gets its own stream (hierarchy pipelines refit)
             self._fit_calls = getattr(self, "_fit_calls", 0) + 1
@@ -327,13 +340,7 @@ class Trainer:
 
         key = jax.random.PRNGKey(self.seed)
         key, init_key, base_key = jax.random.split(key, 3)
-        if self.params is None:
-            self.params = self.model.init(init_key)
-            if self.tp_mesh is not None:
-                from ..parallel.tensor import apply_tp
-
-                self.params = apply_tp(self.params, self.tp_mesh)
-            self.opt_state = self.optimizer.init(self.params)
+        self._init_state(init_key)
         self._fit_calls = getattr(self, "_fit_calls", 0) + 1
         self._base_key = base_key = jax.random.fold_in(base_key, self._fit_calls)
 

@@ -144,3 +144,14 @@ def test_hybrid_sharded_auto_fallback():
     )
     hist = t.fit(g, epochs=3, n_classes=3)
     assert np.isfinite(hist[-1]["loss"])
+
+
+def test_hybrid_sharded_k_zero_means_off():
+    # explicit hot_k=0 must disable the hot set (None -> pure halo path),
+    # not build a degenerate 1-column dense block
+    from pytextgcn_tpu.parallel.hybrid_sharded import build_hybrid_sharded_adj
+    from pytextgcn_tpu.parallel import make_mesh
+
+    g = _sym_graph()
+    mesh = make_mesh(2)
+    assert build_hybrid_sharded_adj(g, mesh, hot_k=0) is None

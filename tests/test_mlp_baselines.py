@@ -96,3 +96,18 @@ def test_train_mlp_short_run_with_early_stopping(splits):
         patience=10, verbose=0, seed=1,
     )
     assert len(hist) == 5
+
+
+def test_load_corpus_honors_requested_level_count():
+    # regression: synthetic-dbpedia has 3 label levels; a 2-level request
+    # must return exactly 2 (top-down), not all 3
+    import experiments.common as common
+    from pytextgcn_tpu.config import ExperimentConfig
+
+    cfg = ExperimentConfig()
+    cfg.dataset = "synthetic-dbpedia"
+    cfg.n_docs = 600
+    docs, labels, test_idx, val_idx = common.load_corpus(cfg, levels=["l1", "l2"])
+    assert len(labels) == 2
+    # top-down: the first level is the coarsest (fewest classes)
+    assert len(np.unique(labels[0])) < len(np.unique(labels[1]))

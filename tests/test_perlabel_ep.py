@@ -89,3 +89,35 @@ def test_batched_eval_matches_member_loop(ragged_corpus):
         logits = t.predict_logits(g_eval)[g.n_vocab :]
         loop_pred = np.asarray(jnp.argmax(logits, axis=-1))
         np.testing.assert_array_equal(batched[c], loop_pred)
+
+
+def test_ep_trainers_can_refit(ragged_corpus):
+    # regression: the returned Trainers must carry a usable optimizer state
+    # (sliced out of the vmapped EP state), so refitting continues training
+    # instead of crashing on opt_state=None
+    import dataclasses
+
+    import jax.tree_util as jtu
+
+    g, child, parent = ragged_corpus
+    mesh = make_mesh(2, axis="ensemble")
+    ep = train_per_label(g, child, parent, _mk, epochs=5, seed=3, mesh=mesh)
+    seq = train_per_label(g, child, parent, _mk, epochs=5, seed=3)
+    t, ts = ep["trainers"][0], seq["trainers"][0]
+    assert t.opt_state is not None
+    # sliced+truncated moment buffers match the sequential run's state
+    for a, b in zip(jtu.tree_leaves(t.opt_state), jtu.tree_leaves(ts.opt_state)):
+        assert np.shape(a) == np.shape(b)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+    # refit on member-0's local label space (what the per-label pipeline
+    # does when continuing a member) must run, not crash
+    c0 = len(ep["mapping"][0])
+    y_local = np.zeros(g.n_nodes, np.int32)
+    doc_child = np.asarray(child)
+    local = np.full_like(doc_child, 0)
+    sel = np.asarray(parent) == 0
+    local[sel] = np.searchsorted(np.unique(doc_child[sel]), doc_child[sel])
+    y_local[g.n_vocab :] = local
+    g_local = dataclasses.replace(g, y=y_local)
+    hist = t.fit(g_local, epochs=3, n_classes=c0)
+    assert len(hist) == 3

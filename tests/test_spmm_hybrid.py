@@ -150,3 +150,17 @@ def test_hybrid_k_zero_means_off():
     assert hybrid_k_arg(TrainConfig(hybrid_k="0")) is None
     assert hybrid_k_arg(TrainConfig(hybrid_k="off")) is None
     assert hybrid_k_arg(TrainConfig(hybrid_k="128")) == 128
+
+
+def test_hybrid_auto_falls_back_on_asymmetric_adjacency():
+    # under 'auto' (the TPU default) an asymmetric edge list must select the
+    # pure sparse path (None), not crash the trainer. The graph is skewed so
+    # the cost model genuinely picks a hot set first (all sources hot).
+    rng = np.random.default_rng(4)
+    n, e = 2000, 20000
+    src = rng.integers(0, 64, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    w = rng.random(e).astype(np.float32) + 0.05
+    with pytest.warns(UserWarning, match="weight-symmetric"):
+        plan = build_hybrid_plan(src, dst, w, n, hot_k="auto")
+    assert plan is None  # fallback, never a wrong plan

@@ -104,3 +104,45 @@ def test_tp_gradients_match():
     grads_tp = jax.jit(jax.grad(loss_fn))(apply_tp(params, model_mesh()))
     for a, b in zip(jax.tree.leaves(grads_tp), jax.tree.leaves(grads_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_tp_restore_reapplies_shardings(tmp_path):
+    # regression: a restored TP trainer must not continue training with
+    # fully replicated params/opt-state — fit re-applies the TP layout
+    from pytextgcn_tpu.models import EGCN
+
+    g = tiny_graph()
+    mesh = model_mesh(4)
+
+    def mk():
+        return EGCN(g.in_dim, 5, embedding_dim=64, n_hidden_gcn=16, dropout=0.0)
+
+    t = Trainer(mk(), lr=0.05, seed=1, tp_mesh=mesh)
+    t.fit(g, epochs=3, n_classes=5)
+    t.save(str(tmp_path / "ck"), epoch=3)
+
+    t2 = Trainer(mk(), lr=0.05, seed=1, tp_mesh=mesh)
+    start = t2.restore(str(tmp_path / "ck"))
+    t2.fit(g, epochs=6, n_classes=5, start_epoch=start)
+
+    def axis_names(x):
+        return {n for s in x.sharding.spec if s for n in (s if isinstance(s, tuple) else (s,))}
+
+    assert "model" in axis_names(t2.params["embed"]["w"])
+    # the Adam moments of the embedding are sharded too
+    import jax.tree_util as jtu
+
+    shapes = {tuple(l.shape) for l in jtu.tree_leaves(t2.params)}
+    emb_shape = tuple(np.shape(t2.params["embed"]["w"]))
+    moment_shardings = [
+        axis_names(l)
+        for l in jtu.tree_leaves(t2.opt_state)
+        if hasattr(l, "sharding") and tuple(l.shape) == emb_shape
+    ]
+    assert moment_shardings and all("model" in a for a in moment_shardings)
+
+    # and the resumed trajectory still matches an uninterrupted one
+    t3 = Trainer(mk(), lr=0.05, seed=1, tp_mesh=mesh)
+    t3.fit(g, epochs=6, n_classes=5)
+    for a, b in zip(jtu.tree_leaves(t2.params), jtu.tree_leaves(t3.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
