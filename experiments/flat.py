@@ -56,6 +56,7 @@ def main(argv=None):
     trainer = Trainer(
         model, lr=cfg.train.lr, seed=cfg.train.seed,
         use_pallas=cfg.train.use_pallas, hybrid_k=hybrid_k_arg(cfg.train),
+        debug_checks=cfg.train.debug_checks,
     )
     if cfg.train.batch_size > 0:
         trainer.fit_minibatch(

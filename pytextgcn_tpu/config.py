@@ -55,6 +55,9 @@ class TrainConfig:
     # 0 = full-batch (the reference protocol); >0 trains on n-hop
     # neighborhood mini-batches of that many documents (Trainer.fit_minibatch)
     batch_size: int = 0
+    # checkify-instrumented steps: raise on NaN/Inf/out-of-bounds at the
+    # offending epoch (slow; forces the segment aggregation) — SURVEY §5
+    debug_checks: bool = False
     verbose: int = 1
 
 

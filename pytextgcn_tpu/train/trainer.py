@@ -37,6 +37,7 @@ class Trainer:
         hybrid_k=None,
         halo: bool = False,
         tp_mesh=None,
+        debug_checks: bool = False,
     ):
         """``mesh``: a `jax.sharding.Mesh` with a 'graph' axis — training
         then runs with the aggregation edge-partitioned across the mesh
@@ -60,6 +61,15 @@ class Trainer:
         # tensor parallelism (parallel/tensor.py): shard the wide EGCN
         # embedding (+ first contraction) over this mesh's 'model' axis
         self.tp_mesh = tp_mesh
+        # checkify-instrumented train step (SURVEY.md §5 race-detection row):
+        # NaN/Inf checks raise at the offending epoch instead of silently
+        # training on garbage. Debug-only — every step synchronizes, and the
+        # custom-VJP Pallas/hybrid paths are bypassed (checkify cannot
+        # instrument pallas_call), so this forces the XLA segment aggregation
+        self.debug_checks = debug_checks
+        if debug_checks:
+            self.use_pallas = False
+            self.hybrid_k = None
         self.step_cache = step_cache
         self.params = None
         self.opt_state = None
@@ -95,6 +105,24 @@ class Trainer:
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, epoch + 1, loss
+
+        if self.debug_checks:
+            from jax.experimental import checkify
+
+            # checkify discharges through the jit wrapper; keep the checked
+            # variant jitted so the debug mode stays usable on real graphs.
+            # float_checks only: index_checks trips a checkify bug
+            # instrumenting take_along_axis's gather (jax 0.8, "tuple index
+            # out of range"), and all index ops here are validated host-side
+            # at plan-build time anyway
+            checked = checkify.checkify(train_step, errors=checkify.float_checks)
+
+            def train_step(params, opt_state, base_key, epoch, adj, feats, y, mask):  # noqa: F811
+                err, out = checked(
+                    params, opt_state, base_key, epoch, adj, feats, y, mask
+                )
+                err.throw()  # synchronizes — debug mode only
+                return out
 
         @jax.jit
         def eval_step(params, adj, feats, y, train_mask, val_mask):

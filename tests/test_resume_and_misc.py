@@ -124,3 +124,23 @@ def test_resume_with_reference_early_stopping(tmp_path, small_graph):
     hist = t2.fit(g, epochs=30, n_classes=3, start_epoch=start,
                   early_stopping="reference")
     assert 1 <= len(hist) <= 20
+
+
+def test_debug_checks_catches_nan(small_graph):
+    # SURVEY §5: checkify-instrumented steps surface NaN/Inf at the
+    # offending epoch instead of silently training on garbage
+    import dataclasses
+
+    g = small_graph
+    t = Trainer(GCN(g.in_dim, 3, n_hidden_gcn=8, dropout=0.0), lr=0.05,
+                seed=0, debug_checks=True)
+    hist = t.fit(g, epochs=3, n_classes=3)  # clean graph: no error
+    assert len(hist) == 3
+
+    bad_w = np.asarray(g.edge_w).copy()
+    bad_w[0] = np.nan
+    g_bad = dataclasses.replace(g, edge_w=bad_w)
+    t2 = Trainer(GCN(g.in_dim, 3, n_hidden_gcn=8, dropout=0.0), lr=0.05,
+                 seed=0, debug_checks=True)
+    with pytest.raises(Exception, match="(?i)nan"):
+        t2.fit(g_bad, epochs=3, n_classes=3)
