@@ -41,10 +41,44 @@ def kfold_indices(n: int, k: int, rng: np.random.Generator):
     return out
 
 
+def _cv_f1(g, y_nodes, doc_nodes, folds, model_name, n_classes, n_hidden,
+           dropout, lr, epochs, seed):
+    """Mean/std val macro-F1 of one grid config over the folds (masks
+    rewritten per fold exactly like old/h_o_train.py:81-87)."""
+    scores = []
+    for tr, te in folds:
+        train_mask = np.zeros(g.n_nodes, bool)
+        train_mask[doc_nodes[tr]] = True
+        val_mask = np.zeros(g.n_nodes, bool)
+        val_mask[doc_nodes[te]] = True
+        g_fold = dataclasses.replace(
+            g, y=y_nodes, train_mask=train_mask, val_mask=val_mask,
+            test_mask=np.zeros(g.n_nodes, bool),
+        )
+        cls = GCN if model_name == "GCN" else EGCN
+        model = cls(g.in_dim, n_classes, n_hidden_gcn=n_hidden, dropout=dropout)
+        trainer = Trainer(model, lr=lr, seed=seed)
+        trainer.fit(g_fold, epochs=epochs, n_classes=n_classes, verbose=0)
+        m = trainer.evaluate(g_fold, mask=val_mask, n_classes=n_classes)
+        scores.append(m["f1_macro"])
+    return float(np.mean(scores)), float(np.std(scores))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", default="synthetic")
     p.add_argument("--labels", default="Cat2")
+    p.add_argument(
+        "--parent-labels", default="Cat1",
+        help="parent-level label column for the hierarchical modes",
+    )
+    p.add_argument(
+        "--hierarchy", default="flat", choices=["flat", "per-level", "per-label"],
+        help="flat = old/h_o_train.py; per-level = old/h_o_hierarchical.py "
+        "(GT parent one-hot appended to node features); per-label = "
+        "old/h_o_lables.py (one grid per parent-class classifier, '2lc' "
+        "column in the CSV)",
+    )
     p.add_argument("--data-dir", default=None)
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--k-split", type=int, default=3)
@@ -59,57 +93,97 @@ def main(argv=None):
 
     cfg = ExperimentConfig(dataset=args.dataset, labels=args.labels, data_dir=args.data_dir)
     cfg.train.seed = args.seed
-    docs, labels, test_idx, _ = load_corpus(cfg)
-    y = labels[0]
+    if args.hierarchy == "flat":
+        docs, labels, test_idx, _ = load_corpus(cfg)
+        y_parent, y = None, labels[0]
+    else:
+        docs, labels, test_idx, _ = load_corpus(
+            cfg, levels=[args.parent_labels, args.labels]
+        )
+        y_parent, y = labels[0], labels[-1]
     n_classes = int(np.max(y)) + 1
     rng = np.random.default_rng(args.seed)
 
-    out_name = args.out or f"HypOpt_{args.labels}_{time.strftime('%d_%b_%y_%H_%M_%S')}.csv"
+    prefix = {
+        "flat": "HypOpt", "per-level": "Hierarchical_HypOpt",
+        "per-label": "HypOpt_Labels",
+    }[args.hierarchy]
+    out_name = args.out or f"{prefix}_{args.labels}_{time.strftime('%d_%b_%y_%H_%M_%S')}.csv"
     rows = []
+
+    def emit(row):
+        import csv
+
+        rows.append(row)
+        print(row)
+        with open(out_name, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0]))
+            w.writeheader()
+            w.writerows(rows)
+
     for mdf in args.max_dfs:
         t2g = Text2Graph(min_df=5 if args.dataset != "synthetic" else 1, max_df=mdf)
-        g = t2g.fit_transform(docs, y, test_idx=test_idx)
+        # per-level: GT parent one-hot appended to the node features
+        # (h_o_hierarchical.py:66,71 — OneHotEncoder of y_top)
+        hier = (
+            np.eye(int(np.max(y_parent)) + 1, dtype=np.float32)[y_parent]
+            if args.hierarchy == "per-level"
+            else None
+        )
+        g = t2g.fit_transform(
+            docs, y,
+            test_idx=np.arange(0) if args.hierarchy == "per-label" else test_idx,
+            hierarchy_feats=hier,
+        )
         print(f"Graph built (max_df={mdf}, {g.n_vocab} vocab)!")
+
+        if args.hierarchy == "per-label":
+            # one grid per parent-class classifier over that parent's docs,
+            # child labels relabeled contiguously (h_o_lables.py:75-94)
+            for c in range(int(np.max(y_parent)) + 1):
+                sel = np.asarray(y_parent) == c
+                doc_nodes = np.flatnonzero(sel) + g.n_vocab
+                classes = np.unique(np.asarray(y)[sel])
+                y_nodes = np.zeros(g.n_nodes, np.int32)
+                y_nodes[doc_nodes] = np.searchsorted(
+                    classes, np.asarray(y)[sel]
+                ).astype(np.int32)
+                folds = kfold_indices(len(doc_nodes), args.k_split, rng)
+                for model_name, dropout, lr in itertools.product(
+                    args.models, args.dropouts, args.lrs
+                ):
+                    try:
+                        mean_f1, std_f1 = _cv_f1(
+                            g, y_nodes, doc_nodes, folds, model_name,
+                            len(classes), args.n_hidden, dropout, lr,
+                            args.epochs, args.seed,
+                        )
+                    except Exception as e:
+                        print(f"config failed ({type(e).__name__}: {e}); recording NaN")
+                        mean_f1, std_f1 = float("nan"), float("nan")
+                    emit({"2lc": f"classifier_{c}", "LR": lr, "DO": dropout,
+                          "max_df": mdf, "model": model_name,
+                          "mean f1": mean_f1, "std f1": std_f1})
+            continue
+
         doc_nodes = np.flatnonzero(
             np.asarray(g.train_mask) | np.asarray(g.test_mask)
         )
         folds = kfold_indices(len(doc_nodes), args.k_split, rng)
-
         for dropout, lr, model_name in itertools.product(
             args.dropouts, args.lrs, args.models
         ):
             try:
-                scores = []
-                for tr, te in folds:
-                    train_mask = np.zeros(g.n_nodes, bool)
-                    train_mask[doc_nodes[tr]] = True
-                    val_mask = np.zeros(g.n_nodes, bool)
-                    val_mask[doc_nodes[te]] = True
-                    g_fold = dataclasses.replace(
-                        g, train_mask=train_mask, val_mask=val_mask,
-                        test_mask=np.zeros(g.n_nodes, bool),
-                    )
-                    cls = GCN if model_name == "GCN" else EGCN
-                    model = cls(g.in_dim, n_classes, n_hidden_gcn=args.n_hidden, dropout=dropout)
-                    trainer = Trainer(model, lr=lr, seed=args.seed)
-                    trainer.fit(g_fold, epochs=args.epochs, n_classes=n_classes, verbose=0)
-                    m = trainer.evaluate(g_fold, mask=val_mask, n_classes=n_classes)
-                    scores.append(m["f1_macro"])
-                mean_f1, std_f1 = float(np.mean(scores)), float(np.std(scores))
+                mean_f1, std_f1 = _cv_f1(
+                    g, np.asarray(g.y), doc_nodes, folds, model_name,
+                    n_classes, args.n_hidden, dropout, lr, args.epochs,
+                    args.seed,
+                )
             except Exception as e:  # record failures as NaN like the reference
                 print(f"config failed ({type(e).__name__}: {e}); recording NaN")
                 mean_f1, std_f1 = float("nan"), float("nan")
-            rows.append(
-                {"LR": lr, "DO": dropout, "max_df": mdf, "model": model_name,
-                 "mean f1": mean_f1, "std f1": std_f1}
-            )
-            print(rows[-1])
-            import csv
-
-            with open(out_name, "w", newline="") as f:
-                w = csv.DictWriter(f, fieldnames=list(rows[0]))
-                w.writeheader()
-                w.writerows(rows)
+            emit({"LR": lr, "DO": dropout, "max_df": mdf, "model": model_name,
+                  "mean f1": mean_f1, "std f1": std_f1})
     print(f"results -> {out_name}")
     return rows
 
