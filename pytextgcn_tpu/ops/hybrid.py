@@ -53,7 +53,7 @@ _EDGE_NS = 6.0
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["hot_ids", "d_full", "a_hh", "res_fwd", "res_bwd"],
-    meta_fields=["n_nodes", "k", "compute_dtype"],
+    meta_fields=["n_nodes", "k", "compute_dtype", "fused"],
 )
 @dataclasses.dataclass
 class HybridPlan:
@@ -61,9 +61,13 @@ class HybridPlan:
 
     hot_ids: int32 [K] node ids of the hot set (descending degree).
     d_full:  [N, K] dense ``Σ w(hot_k → n)`` (f32, or bf16 in fast mode).
+             With ``fused`` the rows are zero-padded to the fused kernel's
+             block multiple (built padded — never copied after the fact).
     a_hh:    [K, K] hot-hot block (= d_full[hot_ids]).
     res_fwd/res_bwd: Pallas tile plans over the cold-cold residual edges
              (None when the residual is empty).
+    fused:   route the two D products through the one-pass-over-D Pallas
+             kernel (ops/fused_dual.py) instead of two XLA matmuls.
     """
 
     hot_ids: jax.Array
@@ -74,6 +78,7 @@ class HybridPlan:
     n_nodes: int
     k: int
     compute_dtype: str = "float32"
+    fused: bool = False
 
 
 def _predict_cost_ns(n_nodes: int, n_edges: int, resid_edges: int, k: int, h: int,
@@ -176,11 +181,15 @@ def build_hybrid_plan(
     compute_dtype: str = "float32",
     h_hint: int = 128,
     validate: bool = True,
+    fused: Optional[bool] = None,
 ) -> Optional[HybridPlan]:
     """Host-side construction. ``hot_k``: int (0 = disabled), or 'auto' to
     pick by cost model (returns None if the model says pure-Pallas wins).
     ``validate=False`` skips the weight-symmetry precondition check — only
-    for timing probes where the numeric result is discarded."""
+    for timing probes where the numeric result is discarded. ``fused``:
+    compute both D products in one pass over D (ops/fused_dual.py);
+    default = compiled TPU backends only (the interpreter is far slower
+    than XLA dots on CPU)."""
     from .spmm_pallas import _build_tile_plan
 
     src = np.asarray(src, np.int64)
@@ -223,15 +232,24 @@ def build_hybrid_plan(
                 return None
             raise
 
+    if fused is None:
+        # conservatively off until the kernel is revalidated on the target
+        # chip generation (flip to `jax.default_backend() != "cpu"` once
+        # probe_fused.py has confirmed the win on real hardware)
+        fused = False
+    # the fused kernel wants row-block-aligned D; build it padded (zero
+    # rows), never pad-copy the built block afterwards
+    n_rows = -(-n_nodes // 512) * 512 if fused else n_nodes
+
     sel = src_hot
     if jax.default_backend() == "cpu":
         # Host accumulation: XLA CPU scatter is ~40x slower than np.add.at
         # here, and CPU runs are small-scale tests anyway.
-        d_full = np.zeros((n_nodes, k), np.float32)
-        np.add.at(d_full, (dst[sel], hot_rank[src[sel]]), w[sel])
+        d_host = np.zeros((n_rows, k), np.float32)
+        np.add.at(d_host, (dst[sel], hot_rank[src[sel]]), w[sel])
         cd = jnp.dtype(compute_dtype)
-        d_full = jnp.asarray(d_full, cd)
-        a_hh = jnp.take(d_full, jnp.asarray(hot_ids), axis=0)
+        d_full = jnp.asarray(d_host, cd)
+        a_hh = jnp.asarray(d_host[hot_ids], cd)
     else:
         # On-device accumulation: a host-side np.add.at at bench scale
         # (E~9M, K=4096 -> 677 MB) costs ~2 min on this lazily page-backed
@@ -263,6 +281,7 @@ def build_hybrid_plan(
         n_nodes=n_nodes,
         k=k,
         compute_dtype=compute_dtype,
+        fused=bool(fused),
     )
 
 
@@ -279,18 +298,35 @@ def spmm_hybrid(plan: HybridPlan, x: jax.Array) -> jax.Array:
     xc = x.astype(cd)
     x_hot = jnp.take(xc, plan.hot_ids, axis=0)  # (K, H) — K-row gather only
 
-    out = jnp.dot(
-        plan.d_full, x_hot, preferred_element_type=jnp.float32, precision=precision
-    )
-    # dst ∈ hot from ALL sources: Dᵀ @ x (contraction over nodes; XLA reads
-    # D in its stored layout), minus the double-counted hot-hot block
-    hot_in = jax.lax.dot_general(
-        plan.d_full,
-        xc,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    n = plan.n_nodes
+    if plan.fused:
+        # both D products in one pass over D (ops/fused_dual.py); D was
+        # built with rows padded to the kernel's block multiple, x pads to
+        # match (cheap — x is skinny) and out slices back
+        from .fused_dual import fused_dual
+        from .spmm_pallas import _use_interpret
+
+        n_rows = plan.d_full.shape[0]
+        x_in = jnp.pad(xc, ((0, n_rows - n), (0, 0))) if n_rows != n else xc
+        out, hot_in = fused_dual(
+            plan.d_full, x_in, x_hot, interpret=_use_interpret()
+        )
+        out = out[:n]
+    else:
+        out = jnp.dot(
+            plan.d_full, x_hot, preferred_element_type=jnp.float32,
+            precision=precision,
+        )[:n]
+        # dst ∈ hot from ALL sources: Dᵀ @ x (contraction over nodes; XLA
+        # reads D in its stored layout)
+        hot_in = jax.lax.dot_general(
+            plan.d_full[:n],
+            xc,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+    # minus the double-counted hot-hot block
     hot_in = hot_in - jnp.dot(
         plan.a_hh, x_hot, preferred_element_type=jnp.float32, precision=precision
     )

@@ -164,3 +164,38 @@ def test_hybrid_auto_falls_back_on_asymmetric_adjacency():
     with pytest.warns(UserWarning, match="weight-symmetric"):
         plan = build_hybrid_plan(src, dst, w, n, hot_k="auto")
     assert plan is None  # fallback, never a wrong plan
+
+
+def test_hybrid_fused_matches_unfused():
+    # the fused one-pass-over-D kernel (interpret mode on CPU) must produce
+    # the same SpMM and the same gradients as the two-XLA-matmul path
+    import jax
+    import jax.numpy as jnp
+    from pytextgcn_tpu.core.graph import gcn_normalize_np as _norm
+    from pytextgcn_tpu.ops.hybrid import spmm_hybrid
+
+    g = _rand_graph(seed=11, n_vocab=300, n_docs=200, n_edges=9000)
+    w, _ = _norm(np.asarray(g.edge_src), np.asarray(g.edge_dst), g.edge_w, g.n_nodes)
+    plans = {
+        fused: build_hybrid_plan(
+            g.edge_src, g.edge_dst, w, g.n_nodes, hot_k=128, fused=fused
+        )
+        for fused in (False, True)
+    }
+    assert plans[True].fused and not plans[False].fused
+    assert plans[True].d_full.shape[0] % 512 == 0  # built padded, not copied
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((g.n_nodes, 48)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((g.n_nodes, 48)), jnp.float32)
+
+    outs, grads = {}, {}
+    for fused, plan in plans.items():
+        outs[fused] = spmm_hybrid(plan, x)
+        grads[fused] = jax.grad(lambda xx: jnp.sum(spmm_hybrid(plan, xx) * t))(x)
+    np.testing.assert_allclose(
+        np.asarray(outs[True]), np.asarray(outs[False]), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads[True]), np.asarray(grads[False]), rtol=1e-5, atol=1e-4
+    )
