@@ -24,7 +24,10 @@ halo path (parallel/halo.py) while the dense blocks ride each chip's MXU:
 Per SpMM per device the wire carries O(K·H + halo rows · H) — independent of
 N — so the graph-size ceiling is HBM for the shard's D block and edges, not
 replication. Everything inside shard_map is plain differentiable XLA
-(matmuls, takes, psum, ppermute), so jax.grad composes; no custom VJP.
+(matmuls, takes, psum, ppermute), so jax.grad composes. With ``fused=True``
+the two shard-local D products run through the one-pass-over-D Pallas
+kernel (ops/fused_dual.py, custom VJP — still composes under shard_map),
+halving each shard's D traffic.
 """
 
 from __future__ import annotations
@@ -46,7 +49,10 @@ from .sharded import put_global, replicate_global
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["d_blk", "hot_rows", "hot_ranks", "a_hh", "hot_unpack", "halo_res"],
-    meta_fields=["n_nodes", "rows_per", "k", "k_max", "mesh", "axis", "compute_dtype"],
+    meta_fields=[
+        "n_nodes", "rows_per", "k", "k_max", "mesh", "axis", "compute_dtype",
+        "fused",
+    ],
 )
 @dataclasses.dataclass
 class HybridShardedAdj:
@@ -80,6 +86,7 @@ class HybridShardedAdj:
     mesh: Mesh
     axis: str
     compute_dtype: str = "float32"
+    fused: bool = False
 
     @property
     def n_shards(self) -> int:
@@ -103,6 +110,7 @@ def build_hybrid_sharded_adj(
     hot_k="auto",
     compute_dtype: str = "float32",
     h_hint: int = 128,
+    fused: Optional[bool] = None,
 ) -> Optional[HybridShardedAdj]:
     """Host-side build. Returns None when the cost model says the hot set
     is not worth it (caller falls back to the pure halo path)."""
@@ -201,8 +209,20 @@ def build_hybrid_sharded_adj(
         src[rsel], dst[rsel], norm_w[rsel], self_w, n_nodes, mesh, axis
     )
 
+    if fused is None:
+        # conservatively off until revalidated on the target chip (same
+        # policy as ops/hybrid.build_hybrid_plan)
+        fused = False
+    d_blk = jnp.asarray(d_full).reshape(d, rows_per, k)
+    if fused:
+        # the fused kernel wants row-block-aligned shard blocks; pad each
+        # shard's rows once at build (zero rows — out is sliced per shard)
+        rows_fd = -(-rows_per // 512) * 512
+        if rows_fd != rows_per:
+            d_blk = jnp.pad(d_blk, ((0, 0), (0, rows_fd - rows_per), (0, 0)))
+
     return HybridShardedAdj(
-        d_blk=put_global(mesh, P(axis), d_full.reshape(d, rows_per, k)),
+        d_blk=put_global(mesh, P(axis), d_blk),
         hot_rows=put_global(mesh, P(axis), hot_rows),
         hot_ranks=put_global(mesh, P(axis), hot_ranks),
         a_hh=replicate_global(mesh, a_hh),
@@ -215,6 +235,7 @@ def build_hybrid_sharded_adj(
         mesh=mesh,
         axis=axis,
         compute_dtype=compute_dtype,
+        fused=bool(fused),
     )
 
 
@@ -243,13 +264,30 @@ def spmm_hybrid_sharded(adj: HybridShardedAdj, x: jax.Array) -> jax.Array:
         allh = jax.lax.all_gather(mine, axis, axis=0, tiled=True)
         x_hot = jnp.take(allh, unpack, axis=0)
 
-        out = jnp.dot(d_blk, x_hot, preferred_element_type=jnp.float32,
-                      precision=precision)
-        # hot destinations: psum of the per-shard partial contraction
-        part = jax.lax.dot_general(
-            d_blk, xc, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        if adj.fused:
+            # both shard-local D products in one pass over the shard's
+            # (row-padded) D block (ops/fused_dual.py)
+            from ..ops.fused_dual import fused_dual
+            from ..ops.spmm_pallas import _use_interpret
+
+            rows_fd = d_blk.shape[0]
+            x_in = (
+                jnp.pad(xc, ((0, rows_fd - rows_per), (0, 0)))
+                if rows_fd != rows_per
+                else xc
+            )
+            out, part = fused_dual(
+                d_blk, x_in, x_hot, interpret=_use_interpret()
+            )
+            out = out[:rows_per]
+        else:
+            out = jnp.dot(d_blk, x_hot, preferred_element_type=jnp.float32,
+                          precision=precision)
+            # hot destinations: per-shard partial contraction
+            part = jax.lax.dot_general(
+                d_blk, xc, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
         hot_in = jax.lax.psum(part, axis) - jnp.dot(
             a_hh, x_hot, preferred_element_type=jnp.float32, precision=precision
         )

@@ -155,3 +155,31 @@ def test_hybrid_sharded_k_zero_means_off():
     g = _sym_graph()
     mesh = make_mesh(2)
     assert build_hybrid_sharded_adj(g, mesh, hot_k=0) is None
+
+
+def test_hybrid_sharded_fused_matches_single():
+    # the fused per-shard D kernel must reproduce the single-device SpMM
+    # (forward and gradient) exactly like the two-matmul sharded path
+    from pytextgcn_tpu.parallel import make_mesh
+    from pytextgcn_tpu.parallel.hybrid_sharded import (
+        build_hybrid_sharded_adj,
+        spmm_hybrid_sharded,
+    )
+
+    g = _sym_graph(seed=5)
+    adj_ref = NormAdj.from_graph(g)
+    mesh = make_mesh(4)
+    adj_f = build_hybrid_sharded_adj(g, mesh, hot_k=128, fused=True)
+    assert adj_f is not None and adj_f.fused
+    assert adj_f.d_blk.shape[1] % 512 == 0  # per-shard rows padded at build
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((g.n_nodes, 32)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((g.n_nodes, 32)), jnp.float32)
+    ref = spmm_segment(adj_ref, x)
+    got = jax.jit(lambda v: spmm_hybrid_sharded(adj_f, v))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    g_ref = jax.grad(lambda v: jnp.vdot(spmm_segment(adj_ref, v), t))(x)
+    g_got = jax.jit(jax.grad(lambda v: jnp.vdot(spmm_hybrid_sharded(adj_f, v), t)))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=2e-5, atol=2e-5)
