@@ -42,9 +42,12 @@ def kfold_indices(n: int, k: int, rng: np.random.Generator):
 
 
 def _cv_f1(g, y_nodes, doc_nodes, folds, model_name, n_classes, n_hidden,
-           dropout, lr, epochs, seed):
+           dropout, lr, epochs, seed, step_cache):
     """Mean/std val macro-F1 of one grid config over the folds (masks
-    rewritten per fold exactly like old/h_o_train.py:81-87)."""
+    rewritten per fold exactly like old/h_o_train.py:81-87). ``step_cache``
+    shares jitted steps across same-shaped configs — the k folds of a
+    config reuse one compile (the cache key includes model shape, lr and
+    the update rule), which matters at remote-TPU compile latency."""
     scores = []
     for tr, te in folds:
         train_mask = np.zeros(g.n_nodes, bool)
@@ -57,7 +60,7 @@ def _cv_f1(g, y_nodes, doc_nodes, folds, model_name, n_classes, n_hidden,
         )
         cls = GCN if model_name == "GCN" else EGCN
         model = cls(g.in_dim, n_classes, n_hidden_gcn=n_hidden, dropout=dropout)
-        trainer = Trainer(model, lr=lr, seed=seed)
+        trainer = Trainer(model, lr=lr, seed=seed, step_cache=step_cache)
         trainer.fit(g_fold, epochs=epochs, n_classes=n_classes, verbose=0)
         m = trainer.evaluate(g_fold, mask=val_mask, n_classes=n_classes)
         scores.append(m["f1_macro"])
@@ -110,6 +113,7 @@ def main(argv=None):
     }[args.hierarchy]
     out_name = args.out or f"{prefix}_{args.labels}_{time.strftime('%d_%b_%y_%H_%M_%S')}.csv"
     rows = []
+    step_cache = {}  # jitted steps shared across folds of same-shaped configs
 
     def emit(row):
         import csv
@@ -156,7 +160,7 @@ def main(argv=None):
                         mean_f1, std_f1 = _cv_f1(
                             g, y_nodes, doc_nodes, folds, model_name,
                             len(classes), args.n_hidden, dropout, lr,
-                            args.epochs, args.seed,
+                            args.epochs, args.seed, step_cache,
                         )
                     except Exception as e:
                         print(f"config failed ({type(e).__name__}: {e}); recording NaN")
@@ -177,7 +181,7 @@ def main(argv=None):
                 mean_f1, std_f1 = _cv_f1(
                     g, np.asarray(g.y), doc_nodes, folds, model_name,
                     n_classes, args.n_hidden, dropout, lr, args.epochs,
-                    args.seed,
+                    args.seed, step_cache,
                 )
             except Exception as e:  # record failures as NaN like the reference
                 print(f"config failed ({type(e).__name__}: {e}); recording NaN")
