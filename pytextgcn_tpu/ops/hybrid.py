@@ -82,13 +82,16 @@ class HybridPlan:
 
 
 def _predict_cost_ns(n_nodes: int, n_edges: int, resid_edges: int, k: int, h: int,
-                     itemsize: int) -> float:
-    """Rough per-SpMM cost of a K-hot decomposition (see module docstring)."""
-    dense_bytes = (n_nodes * k + k * k) * itemsize  # D read twice ~ streamed
+                     itemsize: int, d_reads: int = 2) -> float:
+    """Rough per-SpMM cost of a K-hot decomposition (see module docstring).
+    ``d_reads``: how many times the [N, K] block D streams from HBM per
+    application — 2 with separate XLA matmuls, 1 under the fused dual
+    kernel (ops/fused_dual.py)."""
+    dense_bytes = (d_reads * n_nodes * k + k * k) * itemsize
     dense_flops = 2 * (2 * n_nodes * k + k * k) * h
     mxu = _MXU_F32_HIGHEST if itemsize == 4 else 1.6 * _MXU_F32_HIGHEST
     # memory traffic and MXU time overlap on TPU; the slower one dominates
-    dense_ns = max(2 * dense_bytes / _HBM_BPS, dense_flops / mxu) * 1e9
+    dense_ns = max(dense_bytes / _HBM_BPS, dense_flops / mxu) * 1e9
     return dense_ns + resid_edges * _EDGE_NS
 
 
@@ -97,12 +100,14 @@ _PAD_FACTOR = 1.6  # measured tile-plan slot inflation over raw edge counts
 
 def choose_hot_k(src, n_nodes: int, h: int = 128, itemsize: int = 4,
                  candidates=(0, 512, 1024, 2048, 4096, 8192),
-                 dst=None) -> int:
+                 dst=None, d_reads: int = 2) -> int:
     """Pick K minimizing the modeled SpMM cost (0 = hybrid not worth it).
 
     With ``dst`` given, the cold-cold residual is counted exactly per
     candidate (one vectorized pass each); without it, an independence
-    estimate from the src-degree coverage is used.
+    estimate from the src-degree coverage is used. ``d_reads``: per-
+    application HBM reads of D (1 when the fused dual kernel is on) —
+    cheaper dense halves shift the optimum toward larger K.
     """
     src = np.asarray(src)
     deg = np.bincount(src, minlength=n_nodes)
@@ -124,7 +129,8 @@ def choose_hot_k(src, n_nodes: int, h: int = 128, itemsize: int = 4,
         else:
             cov = cum[k] / max(e, 1)
             resid = e * max(1.0 - cov, 0.0) ** 2
-        t = _predict_cost_ns(n_nodes, e, resid * _PAD_FACTOR, k, h, itemsize)
+        t = _predict_cost_ns(n_nodes, e, resid * _PAD_FACTOR, k, h, itemsize,
+                             d_reads=d_reads)
         if t < best_t:
             best_k, best_t = k, t
     return best_k
@@ -196,9 +202,15 @@ def build_hybrid_plan(
     dst = np.asarray(dst, np.int64)
     w = np.asarray(w, np.float32)
     itemsize = jnp.dtype(compute_dtype).itemsize
+    if fused is None:
+        # conservatively off until the kernel is revalidated on the target
+        # chip generation (flip to `jax.default_backend() != "cpu"` once
+        # probe_fused.py has confirmed the win on real hardware)
+        fused = False
     auto = hot_k == "auto"
     if auto:
-        hot_k = choose_hot_k(src, n_nodes, h=h_hint, itemsize=itemsize, dst=dst)
+        hot_k = choose_hot_k(src, n_nodes, h=h_hint, itemsize=itemsize, dst=dst,
+                             d_reads=1 if fused else 2)
     if not hot_k:  # 0/None: the decomposition is off, pure sparse path wins
         return None
     k = int(min(hot_k, n_nodes))
@@ -232,11 +244,6 @@ def build_hybrid_plan(
                 return None
             raise
 
-    if fused is None:
-        # conservatively off until the kernel is revalidated on the target
-        # chip generation (flip to `jax.default_backend() != "cpu"` once
-        # probe_fused.py has confirmed the win on real hardware)
-        fused = False
     # the fused kernel wants row-block-aligned D; build it padded (zero
     # rows), never pad-copy the built block afterwards
     n_rows = -(-n_nodes // 512) * 512 if fused else n_nodes

@@ -127,9 +127,14 @@ def build_hybrid_sharded_adj(
     n_nodes = g.n_nodes
 
     itemsize = jnp.dtype(compute_dtype).itemsize
+    if fused is None:
+        # conservatively off until revalidated on the target chip (same
+        # policy as ops/hybrid.build_hybrid_plan)
+        fused = False
     auto = hot_k == "auto"
     if auto:
-        hot_k = choose_hot_k(src, n_nodes, h=h_hint, itemsize=itemsize, dst=dst)
+        hot_k = choose_hot_k(src, n_nodes, h=h_hint, itemsize=itemsize, dst=dst,
+                             d_reads=1 if fused else 2)
     if not hot_k:  # 0/None disables the hot set (same contract as
         return None  # ops/hybrid.build_hybrid_plan) -> pure halo path
     k = int(min(hot_k, n_nodes))
@@ -209,10 +214,6 @@ def build_hybrid_sharded_adj(
         src[rsel], dst[rsel], norm_w[rsel], self_w, n_nodes, mesh, axis
     )
 
-    if fused is None:
-        # conservatively off until revalidated on the target chip (same
-        # policy as ops/hybrid.build_hybrid_plan)
-        fused = False
     d_blk = jnp.asarray(d_full).reshape(d, rows_per, k)
     if fused:
         # the fused kernel wants row-block-aligned shard blocks; pad each
