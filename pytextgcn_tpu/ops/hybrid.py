@@ -41,12 +41,16 @@ import numpy as np
 
 # cost-model constants, calibrated against the real-chip probe
 # (experiments/chip_probe.py; RESULTS.md "round 2"): measured streaming
-# bandwidth ~220 GB/s, dense f32/HIGHEST ~14 TFLOP/s, and ~6 ns per
-# residual edge slot in the Pallas tile path. The model only has to rank
-# candidate K values; the zipf probe shows K=2048-4096 within 12% of each
-# other, so coarse constants are fine.
+# bandwidth ~220 GB/s and ~6 ns per residual edge slot in the Pallas tile
+# path. The MXU roof must NOT be the probe's 14.1 TF/s f32/HIGHEST — that
+# measurement is itself bandwidth-bound (64 flops per D byte x 220 GB/s
+# == 14.1 TF/s exactly; bf16/DEFAULT ran faster at the same shape, which a
+# compute wall would forbid). Use the architectural estimate instead:
+# v5e peak ~197 TF/s bf16, f32 HIGHEST ~ a 6-pass emulation -> ~33 TF/s.
+# The model only has to rank candidate K values; the zipf probe shows
+# K=2048-4096 within 12% of each other, so coarse constants are fine.
 _HBM_BPS = 2.2e11
-_MXU_F32_HIGHEST = 1.4e13
+_MXU_F32_HIGHEST = 3.3e13
 _EDGE_NS = 6.0
 
 
@@ -89,7 +93,8 @@ def _predict_cost_ns(n_nodes: int, n_edges: int, resid_edges: int, k: int, h: in
     kernel (ops/fused_dual.py)."""
     dense_bytes = (d_reads * n_nodes * k + k * k) * itemsize
     dense_flops = 2 * (2 * n_nodes * k + k * k) * h
-    mxu = _MXU_F32_HIGHEST if itemsize == 4 else 1.6 * _MXU_F32_HIGHEST
+    # bf16/DEFAULT runs single-pass -> ~peak (197 TF/s on v5e)
+    mxu = _MXU_F32_HIGHEST if itemsize == 4 else 6.0 * _MXU_F32_HIGHEST
     # memory traffic and MXU time overlap on TPU; the slower one dominates
     dense_ns = max(dense_bytes / _HBM_BPS, dense_flops / mxu) * 1e9
     return dense_ns + resid_edges * _EDGE_NS

@@ -199,3 +199,25 @@ def test_hybrid_fused_matches_unfused():
     np.testing.assert_allclose(
         np.asarray(grads[True]), np.asarray(grads[False]), rtol=1e-5, atol=1e-4
     )
+
+
+def test_choose_hot_k_fused_monotone():
+    # A fused dense half (D streamed once, d_reads=1) is never costlier than
+    # the two-matmul one, so the chosen K can only grow when fused is on.
+    from pytextgcn_tpu.ops.hybrid import _predict_cost_ns, choose_hot_k
+
+    g = _rand_graph(n_vocab=3000, n_docs=2000, n_edges=200_000, seed=3)
+    src, dst = np.asarray(g.edge_src), np.asarray(g.edge_dst)
+    k2 = choose_hot_k(src, g.n_nodes, h=128, dst=dst, d_reads=2)
+    k1 = choose_hot_k(src, g.n_nodes, h=128, dst=dst, d_reads=1)
+    assert k1 >= k2 > 0
+    # never costlier; strictly cheaper while the dense half is
+    # bandwidth-bound (at large K the max() flips to the MXU term and the
+    # two modes tie — fusing saves traffic, not flops)
+    for k in (512, 1024, 4096):
+        c1 = _predict_cost_ns(g.n_nodes, len(src), 10_000, k, 128, 4, d_reads=1)
+        c2 = _predict_cost_ns(g.n_nodes, len(src), 10_000, k, 128, 4, d_reads=2)
+        assert c1 <= c2
+    assert _predict_cost_ns(g.n_nodes, len(src), 10_000, 512, 128, 4,
+                            d_reads=1) < _predict_cost_ns(
+        g.n_nodes, len(src), 10_000, 512, 128, 4, d_reads=2)
