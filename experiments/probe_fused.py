@@ -49,6 +49,7 @@ def main(argv=None):
     p.add_argument("--check-only", action="store_true")
     p.add_argument("--bn", type=int, default=512)
     p.add_argument("--bk", type=int, default=512)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     args = p.parse_args(argv)
 
     import jax
@@ -78,9 +79,10 @@ def main(argv=None):
         return
 
     n, k = args.n, args.k
-    d = jnp.asarray(rng.standard_normal((n, k)) / 100, jnp.float32)
-    x0 = jnp.asarray(rng.standard_normal((n, H)), jnp.float32)
-    xh0 = jnp.asarray(rng.standard_normal((k, H)), jnp.float32)
+    dt = jnp.dtype(args.dtype)
+    d = jnp.asarray(rng.standard_normal((n, k)) / 100, dt)
+    x0 = jnp.asarray(rng.standard_normal((n, H)), dt)
+    xh0 = jnp.asarray(rng.standard_normal((k, H)), dt)
 
     def chain(step):
         @jax.jit
@@ -88,19 +90,24 @@ def main(argv=None):
             def body(carry, _):
                 x, xh = carry
                 out, hot = step(d, x, xh)
-                return (out / n, hot / n), None
+                # products accumulate in f32; the carry keeps the probe dtype
+                return ((out / n).astype(x.dtype), (hot / n).astype(xh.dtype)), None
 
             (x, xh), _ = jax.lax.scan(body, (x, xh), None, length=R)
             return x
 
         return many
 
+    # match ops/hybrid.spmm_hybrid's precision policy per dtype
+    prec_t = jax.lax.Precision.HIGHEST if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+
     def xla_dual(d, x, xh):
+        x, xh = x.astype(dt), xh.astype(dt)
         return (
-            jnp.dot(d, xh, preferred_element_type=jnp.float32, precision=prec),
+            jnp.dot(d, xh, preferred_element_type=jnp.float32, precision=prec_t),
             jax.lax.dot_general(
                 d, x, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
+                preferred_element_type=jnp.float32, precision=prec_t,
             ),
         )
 
@@ -115,7 +122,7 @@ def main(argv=None):
             best = min(best, time.time() - t0)
         return best / R
 
-    d_bytes = n * k * 4
+    d_bytes = n * k * dt.itemsize
     t_xla = timed(chain(xla_dual), d, x0, xh0)
     log(f"XLA dual (2 matmuls):   {t_xla*1e3:8.3f} ms/app  "
         f"(D streamed at {2*d_bytes/t_xla/1e9:.0f} GB/s equivalent)")
