@@ -19,7 +19,9 @@ import numpy as np
 
 from common import load_corpus
 from pytextgcn_tpu import Text2Graph
-from pytextgcn_tpu.config import ExperimentConfig, hybrid_k_arg, make_model, parse_config
+from pytextgcn_tpu.config import (
+    ExperimentConfig, hybrid_fused_arg, hybrid_k_arg, make_model, parse_config,
+)
 from pytextgcn_tpu.train import Trainer
 from pytextgcn_tpu.train.results import append_result
 
@@ -56,6 +58,7 @@ def main(argv=None):
     trainer = Trainer(
         model, lr=cfg.train.lr, seed=cfg.train.seed,
         use_pallas=cfg.train.use_pallas, hybrid_k=hybrid_k_arg(cfg.train),
+        hybrid_fused=hybrid_fused_arg(cfg.train),
         debug_checks=cfg.train.debug_checks,
     )
     if cfg.train.batch_size > 0:

@@ -16,7 +16,7 @@ import numpy as np
 
 from common import load_corpus
 from pytextgcn_tpu import Text2Graph
-from pytextgcn_tpu.config import hybrid_k_arg, make_model, parse_config
+from pytextgcn_tpu.config import hybrid_fused_arg, hybrid_k_arg, make_model, parse_config
 from pytextgcn_tpu.hierarchy import eval_per_label, train_per_label
 from pytextgcn_tpu.train import Trainer
 from pytextgcn_tpu.train.results import append_result
@@ -99,7 +99,8 @@ def main(argv=None):
             verbose=cfg.train.verbose,
             save_dir=cfg.save_model,
             trainer_kwargs={"use_pallas": cfg.train.use_pallas,
-                            "hybrid_k": hybrid_k_arg(cfg.train)},
+                            "hybrid_k": hybrid_k_arg(cfg.train),
+                            "hybrid_fused": hybrid_fused_arg(cfg.train)},
         )
 
     parent_pred = None

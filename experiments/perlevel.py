@@ -13,7 +13,9 @@ import numpy as np
 
 from common import load_corpus
 from pytextgcn_tpu import Text2Graph
-from pytextgcn_tpu.config import build_parser, hybrid_k_arg, make_model, parse_config
+from pytextgcn_tpu.config import (
+    build_parser, hybrid_fused_arg, hybrid_k_arg, make_model, parse_config,
+)
 from pytextgcn_tpu.hierarchy import train_per_level
 from pytextgcn_tpu.train.results import append_result
 
@@ -59,7 +61,8 @@ def main(argv=None):
         seed=cfg.train.seed,
         verbose=cfg.train.verbose,
         trainer_kwargs={"use_pallas": cfg.train.use_pallas,
-                        "hybrid_k": hybrid_k_arg(cfg.train)},
+                        "hybrid_k": hybrid_k_arg(cfg.train),
+                        "hybrid_fused": hybrid_fused_arg(cfg.train)},
     )
     m = res["metrics"]
     print(f"Test Accuracy: {m['accuracy']: .4f}")

@@ -51,6 +51,9 @@ class TrainConfig:
     # 'off' elsewhere — TPU runs get the fast aggregation without flags,
     # CPU runs skip the plan-build cost where XLA's segment path is fine
     hybrid_k: str = "auto-tpu"
+    # one-pass-over-D fused dual kernel for the hybrid's dense half
+    # (ops/fused_dual.py): 'auto' = backend default, 'on'/'off' = force
+    hybrid_fused: str = "auto"
     eval_every: int = 1
     # 0 = full-batch (the reference protocol); >0 trains on n-hop
     # neighborhood mini-batches of that many documents (Trainer.fit_minibatch)
@@ -146,7 +149,9 @@ def hybrid_k_arg(cfg: TrainConfig):
     if v == "auto-tpu":
         import jax
 
-        return "auto" if jax.default_backend() == "tpu" else None
+        # 'axon' is the tunneled-TPU plugin's backend name in this
+        # environment; both are compiled TPU backends
+        return "auto" if jax.default_backend() in ("tpu", "axon") else None
     if v == "auto":
         return "auto"
     try:
@@ -156,6 +161,21 @@ def hybrid_k_arg(cfg: TrainConfig):
             f"--train-hybrid-k must be 'off', 'auto', 'auto-tpu', or an "
             f"integer hot-set size, got {v!r}"
         )
+
+
+def hybrid_fused_arg(cfg: TrainConfig):
+    """TrainConfig.hybrid_fused ('auto' | 'on' | 'off') -> Trainer arg
+    (None = backend default in ops/hybrid.build_hybrid_plan)."""
+    v = (cfg.hybrid_fused or "auto").lower()
+    if v in ("auto", "none", ""):
+        return None
+    if v in ("on", "true", "1", "yes"):
+        return True
+    if v in ("off", "false", "0", "no"):
+        return False
+    raise SystemExit(
+        f"--train-hybrid-fused must be 'auto', 'on', or 'off', got {v!r}"
+    )
 
 
 def make_model(cfg: ModelConfig, in_dim: int, out_dim: int):

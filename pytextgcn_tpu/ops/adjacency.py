@@ -49,11 +49,14 @@ class NormAdj:
         use_pallas: bool = False,
         pallas_dtype: str = "float32",
         hybrid_k=None,
+        hybrid_fused: Optional[bool] = None,
     ) -> "NormAdj":
         """``hybrid_k``: enable the dense-hot/sparse-cold decomposition
         (ops/hybrid.py) with a hot set of that size ('auto' = cost-model
         choice, may fall back to the requested pure path). Implies the
-        Pallas kernel for the cold residual."""
+        Pallas kernel for the cold residual. ``hybrid_fused``: force the
+        one-pass-over-D fused dual kernel on/off (None = backend default,
+        see ops/hybrid.build_hybrid_plan)."""
         # normalization on host (numpy): one-time preprocessing; keeps all
         # device work inside jitted hot paths
         src = np.asarray(g.edge_src)
@@ -65,7 +68,7 @@ class NormAdj:
 
             plan = build_hybrid_plan(
                 src, dst, norm_w, g.n_nodes, hot_k=hybrid_k,
-                compute_dtype=pallas_dtype,
+                compute_dtype=pallas_dtype, fused=hybrid_fused,
             )
         if plan is None and (use_pallas or hybrid_k is not None):
             from .spmm_pallas import build_plan_from_arrays

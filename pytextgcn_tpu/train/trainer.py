@@ -35,6 +35,7 @@ class Trainer:
         mesh=None,
         step_cache: Optional[dict] = None,
         hybrid_k=None,
+        hybrid_fused: Optional[bool] = None,
         halo: bool = False,
         tp_mesh=None,
         debug_checks: bool = False,
@@ -56,6 +57,7 @@ class Trainer:
         self._opt_desc = ("amsgrad", lr) if optimizer is None else ("custom", id(optimizer))
         self.use_pallas = use_pallas
         self.hybrid_k = hybrid_k  # dense-hot SpMM decomposition (ops/hybrid.py)
+        self.hybrid_fused = hybrid_fused  # one-pass-over-D kernel (None = backend default)
         self.halo = halo  # with mesh: boundary-only exchange, sharded activations
         self.mesh = mesh
         # tensor parallelism (parallel/tensor.py): shard the wide EGCN
@@ -164,7 +166,7 @@ class Trainer:
                     # cold residual through the halo exchange (None when the
                     # cost model says the graph has no exploitable hot set)
                     self._adj = build_hybrid_sharded_adj(
-                        g, self.mesh, hot_k=self.hybrid_k
+                        g, self.mesh, hot_k=self.hybrid_k, fused=self.hybrid_fused
                     )
                 if self._adj is None:
                     self._adj = build_halo_adj(g, self.mesh)
@@ -174,7 +176,8 @@ class Trainer:
                 self._adj = build_sharded_adj(g, self.mesh, use_pallas=self.use_pallas)
             else:
                 self._adj = NormAdj.from_graph(
-                    g, use_pallas=self.use_pallas, hybrid_k=self.hybrid_k
+                    g, use_pallas=self.use_pallas, hybrid_k=self.hybrid_k,
+                    hybrid_fused=self.hybrid_fused,
                 )
             self._adj_edge_src = g.edge_src
             self._adj_edge_w = g.edge_w
