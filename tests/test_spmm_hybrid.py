@@ -221,3 +221,23 @@ def test_choose_hot_k_fused_monotone():
     assert _predict_cost_ns(g.n_nodes, len(src), 10_000, 512, 128, 4,
                             d_reads=1) < _predict_cost_ns(
         g.n_nodes, len(src), 10_000, 512, 128, 4, d_reads=2)
+
+
+def test_hybrid_fused_knob_plumbing():
+    # config knob -> Trainer -> NormAdj -> HybridPlan.fused
+    import pytest
+
+    from pytextgcn_tpu.config import TrainConfig, hybrid_fused_arg
+    from pytextgcn_tpu.ops.adjacency import NormAdj
+
+    assert hybrid_fused_arg(TrainConfig(hybrid_fused="auto")) is None
+    assert hybrid_fused_arg(TrainConfig(hybrid_fused="on")) is True
+    assert hybrid_fused_arg(TrainConfig(hybrid_fused="off")) is False
+    with pytest.raises(SystemExit):
+        hybrid_fused_arg(TrainConfig(hybrid_fused="maybe"))
+
+    g = _rand_graph(seed=12)
+    adj = NormAdj.from_graph(g, hybrid_k=128, hybrid_fused=True)
+    assert isinstance(adj.plan, HybridPlan) and adj.plan.fused
+    adj_off = NormAdj.from_graph(g, hybrid_k=128, hybrid_fused=False)
+    assert isinstance(adj_off.plan, HybridPlan) and not adj_off.plan.fused
