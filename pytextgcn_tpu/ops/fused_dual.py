@@ -15,9 +15,16 @@ reading each D tile a single time:
                                         # index map); accumulated through a
                                         # dynamic row slice at k_i * BK
 
-The op is bandwidth-bound (H=128 -> 64 f32 flops per D byte, far below the
-MXU's flops-per-HBM-byte balance point), so halving D reads halves the
-dense cost per SpMM application. Backward is the SAME kernel with the
+Measured outcome (experiments/probe_fused.py on the v5e, N=41472 K=4096
+H=128): the dual product is MXU-COMPUTE-bound, not bandwidth-bound — at
+lane-padded H=128 the f32/HIGHEST intensity (H/2 = 64 flops/byte) lands
+exactly on the chip's measured balance point (14.1 TFLOP/s / 220 GB/s),
+and bf16/DEFAULT (H = 128 flops/byte vs balance 105) is past it. Reading
+D once therefore gains only 1.07x (f32, best blocking bn=256 bk=K) and
+~1.0x (bf16); the default blocking below is that best-measured geometry,
+and ops/hybrid.py keeps the kernel off by default (`fused=None` ->
+False). It remains correct and available for bandwidth-bound regimes
+(higher compute:bandwidth chips). Backward is the SAME kernel with the
 skinny operands swapped: d(out)=g_out, d(hot)=g_hot give
 g_x = D @ g_hot and g_xh = D^T @ g_out, i.e. ``fused(D, g_out, g_hot)``.
 
@@ -125,7 +132,7 @@ def _fused_bwd(bn, bk, interpret, d, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-def fused_dual(d, x, xh, *, bn=512, bk=512, interpret=False):
+def fused_dual(d, x, xh, *, bn=256, bk=4096, interpret=False):
     """``(D @ xh, D^T @ x)`` reading D once. Pads N and H up to block/lane
     multiples as needed (K must already be 128-aligned, which
     ops/hybrid.py's plan build guarantees); results are sliced back and

@@ -208,9 +208,14 @@ def build_hybrid_plan(
     w = np.asarray(w, np.float32)
     itemsize = jnp.dtype(compute_dtype).itemsize
     if fused is None:
-        # conservatively off until the kernel is revalidated on the target
-        # chip generation (flip to `jax.default_backend() != "cpu"` once
-        # probe_fused.py has confirmed the win on real hardware)
+        # measured on the v5e (probe_fused.py, N=41472 K=4096 H=128): the
+        # dual product is MXU-compute-bound, not bandwidth-bound — at
+        # lane-padded H=128 the f32/HIGHEST arithmetic intensity (H/2 = 64
+        # flops/byte) sits exactly at the chip's measured balance point
+        # (14.1 TFLOP/s / 220 GB/s), so reading D once instead of twice
+        # gains only 1.07x f32 / ~1.0x bf16. Default stays off; the knob
+        # remains for bandwidth-bound regimes (future chips with a higher
+        # compute:bandwidth ratio, or sub-128 effective lanes).
         fused = False
     auto = hot_k == "auto"
     if auto:
