@@ -39,25 +39,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# cost-model constants, calibrated against the real-chip probe
-# (experiments/chip_probe.py; RESULTS.md "round 2"): measured streaming
-# bandwidth ~220 GB/s and ~6 ns per residual edge slot in the Pallas tile
-# path. The MXU roof must NOT be the probe's 14.1 TF/s f32/HIGHEST — that
-# measurement is itself bandwidth-bound (64 flops per D byte x 220 GB/s
-# == 14.1 TF/s exactly; bf16/DEFAULT ran faster at the same shape, which a
-# compute wall would forbid). Use the architectural estimate instead:
-# v5e peak ~197 TF/s bf16, f32 HIGHEST ~ a 6-pass emulation -> ~33 TF/s.
-# The model only has to rank candidate K values; the zipf probe shows
-# K=2048-4096 within 12% of each other, so coarse constants are fine.
+# cost-model constants, calibrated against the real-chip probes
+# (experiments/chip_probe.py, experiments/probe_fused.py; RESULTS.md
+# "round 2"): measured streaming bandwidth ~220 GB/s and ~6 ns per
+# residual edge slot in the Pallas tile path. The MXU roofs are the
+# *effective* rates at H=128 matmul shapes, settled empirically by the
+# fused dual kernel: reading D exactly ONCE (115 GB/s — bandwidth
+# demonstrably not binding) it still ran 87 GFLOP in 5.93 ms f32/HIGHEST
+# (14.7 TF/s) and 3.70 ms bf16 (23.5 TF/s). An earlier revision assumed an
+# architectural ~33 TF/s roof on the theory that the 14.1 TF/s dense probe
+# was bandwidth-bound; the single-read measurement refutes that. The model
+# only has to rank candidate K values; the zipf probe shows K=2048-4096
+# within 12% of each other, so coarse constants are fine.
 _HBM_BPS = 2.2e11
-_MXU_F32_HIGHEST = 3.3e13
+_MXU_F32_HIGHEST = 1.45e13
+_MXU_BF16_FACTOR = 1.6  # measured bf16/f32-HIGHEST effective ratio at H=128
 _EDGE_NS = 6.0
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["hot_ids", "d_full", "a_hh", "res_fwd", "res_bwd"],
-    meta_fields=["n_nodes", "k", "compute_dtype", "fused"],
+    meta_fields=["n_nodes", "k", "compute_dtype", "fused", "predicted_spmm_ns"],
 )
 @dataclasses.dataclass
 class HybridPlan:
@@ -83,6 +86,10 @@ class HybridPlan:
     k: int
     compute_dtype: str = "float32"
     fused: bool = False
+    # calibrated cost-model floor for one application (ns) — what this chip
+    # should achieve for this decomposition; bench.py reports measured time
+    # against it as fraction_of_achievable
+    predicted_spmm_ns: float = 0.0
 
 
 def _predict_cost_ns(n_nodes: int, n_edges: int, resid_edges: int, k: int, h: int,
@@ -93,8 +100,7 @@ def _predict_cost_ns(n_nodes: int, n_edges: int, resid_edges: int, k: int, h: in
     kernel (ops/fused_dual.py)."""
     dense_bytes = (d_reads * n_nodes * k + k * k) * itemsize
     dense_flops = 2 * (2 * n_nodes * k + k * k) * h
-    # bf16/DEFAULT runs single-pass -> ~peak (197 TF/s on v5e)
-    mxu = _MXU_F32_HIGHEST if itemsize == 4 else 6.0 * _MXU_F32_HIGHEST
+    mxu = _MXU_F32_HIGHEST if itemsize == 4 else _MXU_BF16_FACTOR * _MXU_F32_HIGHEST
     # memory traffic and MXU time overlap on TPU; the slower one dominates
     dense_ns = max(dense_bytes / _HBM_BPS, dense_flops / mxu) * 1e9
     return dense_ns + resid_edges * _EDGE_NS
@@ -289,6 +295,10 @@ def build_hybrid_plan(
         res_fwd = _build_tile_plan(src[rsel], dst[rsel], w[rsel], n_nodes)
         res_bwd = _build_tile_plan(dst[rsel], src[rsel], w[rsel], n_nodes)
 
+    predicted_ns = _predict_cost_ns(
+        n_nodes, len(src), int(rsel.sum()) * _PAD_FACTOR, k, h_hint,
+        itemsize, d_reads=1 if fused else 2,
+    )
     return HybridPlan(
         hot_ids=jnp.asarray(hot_ids),
         d_full=d_full,
@@ -299,6 +309,7 @@ def build_hybrid_plan(
         k=k,
         compute_dtype=compute_dtype,
         fused=bool(fused),
+        predicted_spmm_ns=float(predicted_ns),
     )
 
 
