@@ -241,3 +241,22 @@ def test_hybrid_fused_knob_plumbing():
     assert isinstance(adj.plan, HybridPlan) and adj.plan.fused
     adj_off = NormAdj.from_graph(g, hybrid_k=128, hybrid_fused=False)
     assert isinstance(adj_off.plan, HybridPlan) and not adj_off.plan.fused
+
+
+def test_plan_carries_calibrated_floor():
+    # build_hybrid_plan stamps the cost model's per-application floor on the
+    # plan (bench.py reports measured/floor as fraction_of_achievable)
+    from pytextgcn_tpu.ops.hybrid import _predict_cost_ns
+
+    g = _rand_graph(seed=21)
+    src, dst = np.asarray(g.edge_src), np.asarray(g.edge_dst)
+    w, _ = gcn_normalize_np(src, dst, g.edge_w, g.n_nodes)
+    plan = build_hybrid_plan(src, dst, w, g.n_nodes, hot_k=128)
+    assert plan.predicted_spmm_ns > 0
+    # the floor is at least the dense half's modeled cost for the chosen K
+    assert plan.predicted_spmm_ns >= _predict_cost_ns(
+        g.n_nodes, len(src), 0, plan.k, 128, 4
+    )
+    # a fused plan of the same K predicts no more than the two-matmul one
+    plan_f = build_hybrid_plan(src, dst, w, g.n_nodes, hot_k=128, fused=True)
+    assert plan_f.predicted_spmm_ns <= plan.predicted_spmm_ns
