@@ -18,7 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pytextgcn_tpu.config import ExperimentConfig
 from pytextgcn_tpu.data import synthetic_corpus
-from pytextgcn_tpu.data.loaders import encode_labels, load_amazon, load_dbpedia
+from pytextgcn_tpu.data.loaders import (
+    encode_labels,
+    load_amazon,
+    load_csv_dataset,
+    load_dbpedia,
+)
 
 
 def load_corpus(cfg: ExperimentConfig, levels=None):
@@ -58,6 +63,28 @@ def load_corpus(cfg: ExperimentConfig, levels=None):
             encode_labels(list(y_tr) + list(y_va) + list(y_te))[0]
             for (y_tr, y_va, y_te) in per_col
         ]
+        return docs, labels, test_idx, val_idx
+    if cfg.dataset == "csv":
+        # generic dataset: train.csv/test.csv[/val.csv] under --data-dir,
+        # any text/label columns (load_csv_dataset docstring)
+        if not cfg.data_dir:
+            raise SystemExit("--dataset csv requires --data-dir")
+        cols = levels or [cfg.labels]
+        docs, raw_levels, n_train, n_val = load_csv_dataset(
+            cfg.data_dir, cols, text_col=getattr(cfg, "text_col", None)
+        )
+        n = len(docs)
+        if n_val:
+            # explicit val block between train and test (dbpedia-style)
+            val_idx = np.arange(n_train, n_train + n_val)
+            test_idx = np.arange(n_train + n_val, n)
+        else:
+            # random val fraction of train (amazon-style, flat_amazon.py:56)
+            val_idx = rng.choice(
+                n_train, int(cfg.train.val_split * n_train), replace=False
+            )
+            test_idx = np.arange(n_train, n)
+        labels = [encode_labels(ls)[0] for ls in raw_levels]
         return docs, labels, test_idx, val_idx
     if cfg.dataset in ("synthetic-amazon", "synthetic-dbpedia"):
         # protocol-scale stand-in: reference class counts / doc counts /

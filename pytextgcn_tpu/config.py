@@ -66,9 +66,14 @@ class TrainConfig:
 
 @dataclasses.dataclass
 class ExperimentConfig:
-    dataset: str = "synthetic"  # synthetic | amazon | dbpedia
+    # synthetic | amazon | dbpedia | synthetic-amazon | synthetic-dbpedia |
+    # csv (generic: data_dir holds train.csv/test.csv[/val.csv] with a text
+    # column and arbitrary label columns — the escape hatch the reference
+    # lacks, where a new dataset meant writing a new driver script)
+    dataset: str = "synthetic"
     data_dir: Optional[str] = None
-    labels: str = "Cat2"  # amazon: Cat1/Cat2; dbpedia: l1/l2/l3
+    labels: str = "Cat2"  # amazon: Cat1/Cat2; dbpedia: l1/l2/l3; csv: any column
+    text_col: Optional[str] = None  # csv: text column (auto-detect if unset)
     result_file: Optional[str] = None
     save_model: Optional[str] = None
     load_graph: Optional[str] = None  # path to a saved TGData_*.npz artifact
