@@ -135,9 +135,12 @@ def bench_scale(g, variants):
             log(f"  {name}: step failed ({type(e).__name__}: {e})")
             continue
         results[name] = dt
-        # calibrated cost-model floor of the variant's SpMM (hybrid plans
-        # carry it; other paths have no modeled floor)
-        preds[name] = getattr(adj.plan, "predicted_spmm_ns", None)
+        # hard per-SpMM floor of the variant's decomposition (hybrid plans
+        # carry it; other paths have no modeled floor) + the chosen K
+        preds[name] = (
+            getattr(adj.plan, "floor_spmm_ns", None),
+            getattr(adj.plan, "k", None),
+        )
         log(
             f"  {name}: {dt * 1e3:.2f} ms/step "
             f"({4 * g.n_edges / dt / 1e9:.3f} G edge-trav/s; "
@@ -196,14 +199,15 @@ def main():
     # decomposition runs faster than gathering alone could
     gather_floor_s = traversals / 0.427e9
     x_of_gather_floor = gather_floor_s / best_dt
-    # achievable floor for the chosen decomposition: the calibrated cost
-    # model's per-SpMM prediction x 4 applications (probes: chip_probe.py,
-    # probe_fused.py; constants at ops/hybrid.py) — unlike the pure-stream
-    # "roofline" above, this floor respects the chip's measured gather issue
-    # rate and H=128-shape MXU rates, so it is actually reachable
-    pred_ns = preds.get(best_name)
+    # achievable floor for the chosen decomposition: per SpMM, the dense
+    # half's roofline term (max of HBM stream and measured H=128 MXU rate)
+    # plus the residual at the chip's measured gather issue rate, x 4
+    # applications (probes: chip_probe.py, probe_fused.py; constants at
+    # ops/hybrid.py). Unlike the pure-stream "roofline" above, this floor
+    # respects what the hardware can actually do for this formulation.
+    floor_ns, best_k = preds.get(best_name, (None, None))
     fraction_of_achievable = (
-        round(4 * pred_ns * 1e-9 / best_dt, 4) if pred_ns else None
+        round(4 * floor_ns * 1e-9 / best_dt, 4) if floor_ns else None
     )
     log(
         f"best parity path at docs={n_docs}: {best_name} "
@@ -220,6 +224,7 @@ def main():
         "vs_baseline": round(seg_dt / best_dt, 3) if seg_dt else 1.0,
         "fraction_of_roofline": round(fraction, 4),
         "fraction_of_achievable": fraction_of_achievable,
+        "hybrid_k": best_k,
         "x_of_gather_floor": round(x_of_gather_floor, 3),
         "best_path": best_name,
         "graph": {"n_nodes": g.n_nodes, "n_edges": g.n_edges, "built_by": "Text2Graph"},

@@ -55,12 +55,18 @@ _HBM_BPS = 2.2e11
 _MXU_F32_HIGHEST = 1.45e13
 _MXU_BF16_FACTOR = 1.6  # measured bf16/f32-HIGHEST effective ratio at H=128
 _EDGE_NS = 6.0
+# hard per-edge floor for any gather-formulated residual: the chip's
+# measured random-row gather issue rate (0.427 Grows/s, chip_probe.py) —
+# unlike _EDGE_NS (the *observed* tile-kernel rate incl. padding, used to
+# rank K candidates), this is what no gather formulation can beat
+_GATHER_NS = 2.34
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["hot_ids", "d_full", "a_hh", "res_fwd", "res_bwd"],
-    meta_fields=["n_nodes", "k", "compute_dtype", "fused", "predicted_spmm_ns"],
+    meta_fields=["n_nodes", "k", "compute_dtype", "fused", "predicted_spmm_ns",
+                 "floor_spmm_ns"],
 )
 @dataclasses.dataclass
 class HybridPlan:
@@ -86,10 +92,12 @@ class HybridPlan:
     k: int
     compute_dtype: str = "float32"
     fused: bool = False
-    # calibrated cost-model floor for one application (ns) — what this chip
-    # should achieve for this decomposition; bench.py reports measured time
-    # against it as fraction_of_achievable
+    # calibrated cost-model *prediction* for one application (ns; the number
+    # choose_hot_k ranks by) and the *hard floor* (dense roofline term +
+    # residual at the measured gather issue rate, no padding inflation) —
+    # bench.py reports measured/floor as fraction_of_achievable
     predicted_spmm_ns: float = 0.0
+    floor_spmm_ns: float = 0.0
 
 
 def _predict_cost_ns(n_nodes: int, n_edges: int, resid_edges: int, k: int, h: int,
@@ -295,9 +303,15 @@ def build_hybrid_plan(
         res_fwd = _build_tile_plan(src[rsel], dst[rsel], w[rsel], n_nodes)
         res_bwd = _build_tile_plan(dst[rsel], src[rsel], w[rsel], n_nodes)
 
+    n_resid = int(rsel.sum())
     predicted_ns = _predict_cost_ns(
-        n_nodes, len(src), int(rsel.sum()) * _PAD_FACTOR, k, h_hint,
+        n_nodes, len(src), n_resid * _PAD_FACTOR, k, h_hint,
         itemsize, d_reads=1 if fused else 2,
+    )
+    floor_ns = (
+        _predict_cost_ns(n_nodes, len(src), 0, k, h_hint, itemsize,
+                         d_reads=1 if fused else 2)
+        + n_resid * _GATHER_NS
     )
     return HybridPlan(
         hot_ids=jnp.asarray(hot_ids),
@@ -310,6 +324,7 @@ def build_hybrid_plan(
         compute_dtype=compute_dtype,
         fused=bool(fused),
         predicted_spmm_ns=float(predicted_ns),
+        floor_spmm_ns=float(floor_ns),
     )
 
 

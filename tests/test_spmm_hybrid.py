@@ -260,3 +260,6 @@ def test_plan_carries_calibrated_floor():
     # a fused plan of the same K predicts no more than the two-matmul one
     plan_f = build_hybrid_plan(src, dst, w, g.n_nodes, hot_k=128, fused=True)
     assert plan_f.predicted_spmm_ns <= plan.predicted_spmm_ns
+    # the hard floor (gather-issue-rate residual, no pad inflation) can
+    # never exceed the calibrated prediction
+    assert 0 < plan.floor_spmm_ns <= plan.predicted_spmm_ns
