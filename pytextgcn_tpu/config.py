@@ -74,6 +74,9 @@ class ExperimentConfig:
     data_dir: Optional[str] = None
     labels: str = "Cat2"  # amazon: Cat1/Cat2; dbpedia: l1/l2/l3; csv: any column
     text_col: Optional[str] = None  # csv: text column (auto-detect if unset)
+    # synthetic-amazon/-dbpedia corpus size (0 = protocol default:
+    # 50k/60k docs, the reference datasets' scales)
+    n_docs: int = 0
     result_file: Optional[str] = None
     save_model: Optional[str] = None
     load_graph: Optional[str] = None  # path to a saved TGData_*.npz artifact
