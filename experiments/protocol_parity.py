@@ -110,44 +110,75 @@ def run_hierarchy(args, p, g, level_labels, n_train, n_val, n_classes):
     )
     tkw = {"use_pallas": args.use_pallas, "hybrid_k": hk}
     hier_name = "per-level" if args.hierarchy == "perlevel" else "per-label"
-    summary = []
+    rows = []
     for seed in args.seeds:
         gs = remask(g, args.protocol, n_train, n_val, seed)
-        t0 = time.time()
-        if args.hierarchy == "perlevel":
-            res = train_per_level(
-                gs, level_labels, model_factory,
-                lr=p["lr"], epochs=p["epochs"], seed=seed, verbose=args.verbose,
-                trainer_kwargs=tkw,
+        if args.frameworks in ("both", "jax"):
+            t0 = time.time()
+            if args.hierarchy == "perlevel":
+                res = train_per_level(
+                    gs, level_labels, model_factory,
+                    lr=p["lr"], epochs=p["epochs"], seed=seed,
+                    verbose=args.verbose, trainer_kwargs=tkw,
+                )
+                m = res["metrics"]
+            else:
+                y_child = np.asarray(level_labels[-1])
+                y_parent = np.asarray(level_labels[-2])
+                ens = train_per_label(
+                    gs, y_child, y_parent, model_factory,
+                    lr=p["lr"], epochs=p["epochs"], seed=seed,
+                    verbose=args.verbose, trainer_kwargs=tkw,
+                )
+                # ground-truth routing is the reference quirk (eval_perlabel.py:73)
+                m = eval_per_label(
+                    gs, y_child, y_parent, ens["trainers"], ens["mapping"],
+                    route="ground_truth",
+                )
+            dt = time.time() - t0
+            print(f"[jax {hier_name} seed={seed}] acc {m['accuracy']:.4f} "
+                  f"f1 {m['f1_macro']:.4f} ({dt:.0f}s)", flush=True)
+            rows.append(("jax", m["accuracy"], m["f1_macro"]))
+            append_result(args.out, seed=seed, model=args.model.upper(),
+                          hierarchy=hier_name,
+                          f1_macro=m["f1_macro"], accuracy=m["accuracy"],
+                          dataset=f"synthetic-{args.protocol}", category="jax")
+        if args.frameworks in ("both", "torch"):
+            from torch_reference import train_torch_perlabel, train_torch_perlevel
+
+            tkw_torch = dict(
+                epochs=p["epochs"], lr=p["lr"], dropout=p["dropout"],
+                n_hidden=p["n_hidden"], seed=seed, verbose=args.verbose,
+                model=args.model,
             )
-            m = res["metrics"]
-        else:
-            y_child = np.asarray(level_labels[-1])
-            y_parent = np.asarray(level_labels[-2])
-            ens = train_per_label(
-                gs, y_child, y_parent, model_factory,
-                lr=p["lr"], epochs=p["epochs"], seed=seed, verbose=args.verbose,
-                trainer_kwargs=tkw,
-            )
-            # ground-truth routing is the reference's quirk (eval_perlabel.py:73)
-            m = eval_per_label(
-                gs, y_child, y_parent, ens["trainers"], ens["mapping"],
-                route="ground_truth",
-            )
-        dt = time.time() - t0
-        print(f"[jax {hier_name} seed={seed}] acc {m['accuracy']:.4f} "
-              f"f1 {m['f1_macro']:.4f} ({dt:.0f}s)", flush=True)
-        summary.append((m["accuracy"], m["f1_macro"]))
-        append_result(args.out, seed=seed, model=args.model.upper(),
-                      hierarchy=hier_name,
-                      f1_macro=m["f1_macro"], accuracy=m["accuracy"],
-                      dataset=f"synthetic-{args.protocol}", category="jax")
-    accs, f1s = zip(*summary)
+            if args.hierarchy == "perlevel":
+                m = train_torch_perlevel(gs, level_labels, **tkw_torch)
+            else:
+                m = train_torch_perlabel(
+                    gs, np.asarray(level_labels[-1]),
+                    np.asarray(level_labels[-2]), **tkw_torch,
+                )
+            print(f"[torch {hier_name} seed={seed}] acc {m['accuracy']:.4f} "
+                  f"f1 {m['f1_macro']:.4f} ({m['train_seconds']:.0f}s)",
+                  flush=True)
+            rows.append(("torch", m["accuracy"], m["f1_macro"]))
+            append_result(args.out, seed=seed, model=args.model.upper(),
+                          hierarchy=hier_name,
+                          f1_macro=m["f1_macro"], accuracy=m["accuracy"],
+                          dataset=f"synthetic-{args.protocol}", category="torch")
+    summary = {}
+    for fw in ("jax", "torch"):
+        accs = [a for f, a, _ in rows if f == fw]
+        f1s = [f1 for f, _, f1 in rows if f == fw]
+        if accs:
+            summary[fw] = {
+                "accuracy": (float(np.mean(accs)), float(np.std(accs))),
+                "f1_macro": (float(np.mean(f1s)), float(np.std(f1s))),
+            }
     print(json.dumps({
-        "protocol": args.protocol, "hierarchy": hier_name, "n_docs": len(level_labels[0]),
-        "n_classes": n_classes,
-        "summary": {"jax": {"accuracy": (float(np.mean(accs)), float(np.std(accs))),
-                             "f1_macro": (float(np.mean(f1s)), float(np.std(f1s)))}},
+        "protocol": args.protocol, "hierarchy": hier_name,
+        "n_docs": len(level_labels[0]), "n_classes": n_classes,
+        "summary": summary,
     }), flush=True)
     return summary
 
@@ -183,10 +214,9 @@ def main(argv=None):
     )
     ap.add_argument(
         "--hierarchy", choices=["flat", "perlevel", "perlabel"], default="flat",
-        help="run the reference's hierarchy protocols (JAX framework only — "
-        "the torch cross-check covers the shared model/trainer math in flat "
-        "mode; hierarchy evidence is about reproducing the reference's "
-        "protocol behavior, e.g. per-label beating flat, results.csv:14-16)",
+        help="run the reference's hierarchy protocols; both frameworks "
+        "support all three (torch: train_torch_perlevel / "
+        "train_torch_perlabel in torch_reference.py)",
     )
     ap.add_argument("--out", default="docs/protocol_results.csv")
     ap.add_argument("--use-pallas", action="store_true")
@@ -198,10 +228,6 @@ def main(argv=None):
     p = dict(PROTOCOLS[args.protocol])
     if args.epochs:
         p["epochs"] = args.epochs
-    if args.model == "egcn" and args.hierarchy != "flat" and args.frameworks != "jax":
-        print("[protocol_parity] torch cross-check covers flat mode only; "
-              "forcing --frameworks jax for hierarchy EGCN", flush=True)
-        args.frameworks = "jax"
     n_docs = args.n_docs or (50_000 if args.protocol == "amazon" else 60_000)
     g, level_labels, n_train, n_val = build_graph(
         args.protocol, n_docs, args.verbose, hierarchy=args.hierarchy

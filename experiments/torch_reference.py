@@ -1,4 +1,4 @@
-"""Independent torch implementation of the reference training protocol.
+"""Independent torch implementation of the reference training protocols.
 
 Cross-framework evidence for accuracy parity (VERDICT round 1, item 2): a
 complete train loop in plain torch implementing exactly what the reference
@@ -12,12 +12,22 @@ itself is not installed here; the formulation is written from the documented
 semantics with plain torch sparse ops, so it shares no code with either the
 JAX stack or the numpy oracle in tests/test_gcn_parity.py.
 
+Covers all three reference protocols:
+  * flat (flat_amazon.py / flat_dbpedia.py)          — train_torch_reference
+  * per-level cascade (perlevel_{amazon,dbpedia}.py) — train_torch_perlevel
+  * per-label ensemble (perlabel_amazon.py
+    + eval_perlabel.py's ground-truth routing)       — train_torch_perlabel
+
 Run side by side with the JAX driver on the same graph via
-experiments/protocol_parity.py.
+experiments/protocol_parity.py. Only the graph and the split/relabel
+bookkeeping are shared with the JAX side (both frameworks must see the
+identical graph for the comparison to be controlled); every tensor op in
+the model/training path below is independent torch.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import time
 
 import numpy as np
@@ -58,32 +68,54 @@ def train_torch_reference(
     eval_every: int = 50,
     model: str = "gcn",
     embedding_dim: int = 2000,
+    return_forward: bool = False,
+    a_hat=None,
 ):
     """Train the reference-formulation 2-layer GCN; returns test metrics.
 
     ``g`` is a :class:`pytextgcn_tpu.core.graph.TextGraph` with implicit
-    identity features (the flat protocol; text2graph.py:179). The identity
-    structure makes layer 1 ``A_hat @ W1`` — the N x N identity is never
-    materialized, matching what the sparse feature matrix gives torch in the
-    reference.
+    identity features (text2graph.py:179), optionally carrying
+    ``hierarchy_feats`` — extra per-document feature columns hstacked onto
+    the identity (text2graph.py:226-246, the per-level cascade's hand-off).
+    The identity structure makes layer 1 ``A_hat @ (W1[:n] + doc_scatter(H @
+    W1[n:]))`` — the N x N identity is never materialized, matching what the
+    sparse feature matrix gives torch in the reference.
 
     ``model='egcn'`` prepends the reference's embedding head (``Linear(in,
     2000)`` + SELU + dropout, models.py:35-44) and keeps its quirk of
     dropout after *every* GCN layer including the logits (the always-true
-    loop condition at models.py:46-50). With identity features the embedding
-    collapses to ``W_embᵀ + b`` — same structure the JAX EGCN exploits.
+    loop condition at models.py:46-50).
+
+    ``return_forward=True`` additionally returns ``predict(hierarchy_feats)``
+    — no-grad full-node logits, optionally with *different* hierarchy
+    feature columns (how perlevel_amazon.py:156 re-evaluates the trained
+    level-2 model on a predictions-fed graph) — plus the shared ``a_hat``.
     """
     import torch
     from sklearn.metrics import accuracy_score, f1_score
 
-    assert g.x is None and g.hierarchy_feats is None, (
-        "torch harness covers the flat protocol (identity features)"
-    )
+    assert g.x is None, "torch harness covers identity(-plus-hierarchy) features"
     torch.manual_seed(seed)
     n = g.n_nodes
-    a_hat = _normalized_adj(g, torch.float32)
+    if a_hat is None:
+        a_hat = _normalized_adj(g, torch.float32)
 
-    in_gcn = embedding_dim if model == "egcn" else n
+    hier = g.hierarchy_feats
+    n_extra = 0 if hier is None else int(hier.shape[1])
+    in_dim = n + n_extra
+    hier_t = None if hier is None else torch.from_numpy(
+        np.asarray(hier, np.float32)
+    )
+
+    def feat_matmul(w):
+        """``X @ w`` for X = [I | doc-padded hierarchy], w: [n+F, ...]."""
+        out = w[:n]
+        if hier_t is not None:
+            out = out.clone()
+            out[g.n_vocab :] = out[g.n_vocab :] + hier_t @ w[n:]
+        return out
+
+    in_gcn = embedding_dim if model == "egcn" else in_dim
     # glorot init, like PyG 1.6.3's GCNConv.reset_parameters
     w1 = torch.empty(in_gcn, n_hidden)
     w2 = torch.empty(n_hidden, n_classes)
@@ -95,9 +127,9 @@ def train_torch_reference(
     b2 = torch.zeros(n_classes, requires_grad=True)
     params = [w1, b1, w2, b2]
     if model == "egcn":
-        # nn.Linear default init (kaiming_uniform a=sqrt(5), fan_in = n),
+        # nn.Linear default init (kaiming_uniform a=sqrt(5), fan_in = in_dim),
         # exactly what the reference's embedding layer gets
-        emb = torch.nn.Linear(n, embedding_dim)
+        emb = torch.nn.Linear(in_dim, embedding_dim)
         params += list(emb.parameters())
 
     y = torch.from_numpy(np.asarray(g.y, np.int64))
@@ -107,16 +139,17 @@ def train_torch_reference(
     ce = torch.nn.CrossEntropyLoss()
     drop = torch.nn.Dropout(dropout)
 
-    def forward(train: bool):
+    def forward(train: bool, fm=feat_matmul):
         if model == "egcn":
-            h = emb.weight.T + emb.bias  # identity feats: I @ W_embᵀ == W_embᵀ
+            h = fm(emb.weight.T) + emb.bias  # X @ W_embᵀ without the identity
             h = torch.selu(h)
             h = drop(h) if train else h
             h = torch.sparse.mm(a_hat, h @ w1) + b1
             h = drop(h) if train else h  # EGCN quirk: dropout after every layer
             h = torch.sparse.mm(a_hat, h @ w2) + b2
             return drop(h) if train else h  # ... including the logits
-        h = torch.sparse.mm(a_hat, w1) + b1  # identity feats: X @ W1 == W1
+        h = fm(w1)  # identity feats: X @ W1 == W1 (+ hierarchy block)
+        h = torch.sparse.mm(a_hat, h) + b1
         h = drop(h) if train else h
         return torch.sparse.mm(a_hat, h @ w2) + b2
 
@@ -133,12 +166,193 @@ def train_torch_reference(
                 flush=True,
             )
 
-    with torch.no_grad():
-        pred = forward(train=False).argmax(1).numpy()
+    def predict(hierarchy_feats=None) -> np.ndarray:
+        """No-grad full-node logits, optionally with swapped-in hierarchy
+        feature columns (must match the training column count)."""
+        import torch as th
+
+        if hierarchy_feats is None:
+            fm = feat_matmul
+        else:
+            h_new = th.from_numpy(np.asarray(hierarchy_feats, np.float32))
+            assert h_new.shape[1] == n_extra, (
+                "hierarchy feature width must match training"
+            )
+
+            def fm(w, h_new=h_new):
+                out = w[:n].clone()
+                out[g.n_vocab :] = out[g.n_vocab :] + h_new @ w[n:]
+                return out
+
+        with th.no_grad():
+            return forward(train=False, fm=fm).numpy()
+
+    with_pred = predict()
+    pred = with_pred.argmax(1)
     yt = np.asarray(g.y)[test_mask]
     pt = pred[test_mask]
-    return {
+    out = {
         "accuracy": float(accuracy_score(yt, pt)),
         "f1_macro": float(f1_score(yt, pt, average="macro")),
         "train_seconds": time.time() - t0,
+    }
+    if return_forward:
+        out["predict"] = predict
+        out["a_hat"] = a_hat
+    return out
+
+
+def _softmax_np(logits: np.ndarray) -> np.ndarray:
+    z = logits - logits.max(axis=-1, keepdims=True)
+    e = np.exp(z)
+    return (e / e.sum(axis=-1, keepdims=True)).astype(np.float32)
+
+
+def _one_hot_np(labels: np.ndarray) -> np.ndarray:
+    labels = np.asarray(labels, np.int64)
+    out = np.zeros((labels.shape[0], int(labels.max()) + 1), np.float32)
+    out[np.arange(labels.shape[0]), labels] = 1.0
+    return out
+
+
+def train_torch_perlevel(
+    g,
+    level_labels,
+    *,
+    epochs: int = 500,
+    lr: float = 0.05,
+    dropout: float = 0.7,
+    n_hidden: int = 100,
+    seed: int = 42,
+    verbose: int = 0,
+    model: str = "gcn",
+):
+    """Per-level cascade with the reference's exact hand-off semantics
+    (perlevel_amazon.py / perlevel_dbpedia.py, SURVEY.md §3.5): level k >= 2
+    trains with the GT one-hot of level k-1 as extra document features
+    (perlevel_dbpedia.py:140); the final level is evaluated with the
+    previous level's *softmax predictions* swapped in (perlevel_amazon.py:156,
+    computed on that level's own GT-fed graph, perlevel_dbpedia.py:173-175).
+
+    Mirrors pytextgcn_tpu.hierarchy.perlevel.train_per_level seed-for-seed
+    (trainer seed = seed + level) so both frameworks run the same protocol.
+    """
+    from sklearn.metrics import accuracy_score, f1_score
+
+    a_hat = None
+    results = []
+    hierarchy_gt = None
+
+    for lvl, y in enumerate(level_labels):
+        y = np.asarray(y)
+        n_classes = int(y.max()) + 1
+        y_nodes = np.zeros(g.n_nodes, np.int32)
+        y_nodes[g.n_vocab :] = y.astype(np.int32)
+        g_lvl = dataclasses.replace(g, y=y_nodes, hierarchy_feats=hierarchy_gt)
+        res = train_torch_reference(
+            g_lvl, n_classes, epochs=epochs, lr=lr, dropout=dropout,
+            n_hidden=n_hidden, seed=seed + lvl, verbose=verbose, model=model,
+            return_forward=True, a_hat=a_hat,
+        )
+        a_hat = res["a_hat"]
+        results.append(res)
+        hierarchy_gt = _one_hot_np(y)
+        if verbose > 0:
+            print(
+                f"[torch perlevel lvl {lvl}] acc {res['accuracy']:.4f} "
+                f"f1 {res['f1_macro']:.4f}",
+                flush=True,
+            )
+
+    # final evaluation: last level with the previous level's predictions
+    y_last = np.asarray(level_labels[-1])
+    if len(level_labels) >= 2:
+        # the previous level's softmax, computed on its own GT-fed graph
+        # (perlevel_dbpedia.py:173-175,224-227 — only the LAST level swaps
+        # predictions in; level k-1 still sees GT features of level k-2)
+        logits_prev = results[-2]["predict"]()
+        pred_feats = _softmax_np(logits_prev[g.n_vocab :])
+        logits_final = results[-1]["predict"](hierarchy_feats=pred_feats)
+    else:
+        logits_final = results[-1]["predict"]()
+    pred = logits_final.argmax(1)[g.n_vocab :]
+    test_docs = np.asarray(g.test_mask)[g.n_vocab :]
+    yt = y_last[test_docs]
+    pt = pred[test_docs]
+    return {
+        "accuracy": float(accuracy_score(yt, pt)),
+        "f1_macro": float(f1_score(yt, pt, average="macro")),
+        "train_seconds": sum(r["train_seconds"] for r in results),
+    }
+
+
+def train_torch_perlabel(
+    g,
+    y_child: np.ndarray,
+    y_parent: np.ndarray,
+    *,
+    epochs: int = 500,
+    lr: float = 0.05,
+    dropout: float = 0.7,
+    n_hidden: int = 100,
+    seed: int = 42,
+    verbose: int = 0,
+    model: str = "gcn",
+):
+    """Per-label ensemble + composed ground-truth-routed inference
+    (perlabel_amazon.py:90-155 + eval_perlabel.py:57-85): per parent class,
+    relabel its child labels contiguously, train a GCN on ``split_mask AND
+    class_mask``; route each test doc to its ground-truth parent's model and
+    map the local argmax back through the class mapping.
+
+    The relabel/mask bookkeeping is shared with the JAX ensemble
+    (hierarchy/perlabel.py::_member_label_arrays) so both frameworks train
+    on *identical* masks; the training math is all torch.
+    """
+    from sklearn.metrics import accuracy_score, f1_score
+
+    from pytextgcn_tpu.hierarchy.perlabel import _member_label_arrays
+
+    y_child = np.asarray(y_child, np.int64)
+    y_parent = np.asarray(y_parent, np.int64)
+    n_parents = int(y_parent.max()) + 1
+    members = _member_label_arrays(g, y_child, y_parent, n_parents)
+
+    a_hat = None
+    predictions = np.full(len(y_child), -1, np.int64)
+    test_docs = np.asarray(g.test_mask)[g.n_vocab :]
+    train_seconds = 0.0
+    for c, (classes, y_nodes, node_mask) in enumerate(members):
+        g_c = dataclasses.replace(
+            g,
+            y=y_nodes,
+            train_mask=np.asarray(g.train_mask) & node_mask,
+            val_mask=np.asarray(g.val_mask) & node_mask,
+            test_mask=np.asarray(g.test_mask) & node_mask,
+        )
+        res = train_torch_reference(
+            g_c, len(classes), epochs=epochs, lr=lr, dropout=dropout,
+            n_hidden=n_hidden, seed=seed, verbose=verbose, model=model,
+            return_forward=True, a_hat=a_hat,
+        )
+        a_hat = res["a_hat"]
+        train_seconds += res["train_seconds"]
+        # ground-truth routing (eval_perlabel.py:73): this member predicts
+        # exactly the test docs whose true parent is c
+        local_pred = res["predict"]().argmax(1)[g.n_vocab :]
+        sel = (y_parent == c) & test_docs
+        predictions[sel] = np.asarray(classes, np.int64)[local_pred[sel]]
+        if verbose > 0:
+            print(
+                f"[torch perlabel parent {c}] member acc {res['accuracy']:.4f} "
+                f"({res['train_seconds']:.0f}s)",
+                flush=True,
+            )
+
+    yt = y_child[test_docs]
+    pt = predictions[test_docs]
+    return {
+        "accuracy": float(accuracy_score(yt, pt)),
+        "f1_macro": float(f1_score(yt, pt, average="macro")),
+        "train_seconds": train_seconds,
     }

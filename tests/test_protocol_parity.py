@@ -35,6 +35,49 @@ def test_protocol_parity_smoke(tmp_path):
         assert 0.0 <= float(r["accuracy"]) <= 1.0
 
 
+def test_torch_hierarchy_protocols():
+    """The torch cross-check covers the hierarchy protocols too
+    (train_torch_perlevel / train_torch_perlabel): tiny-scale runs produce
+    sane composed metrics, and the per-level feature swap is live."""
+    import protocol_parity
+    from torch_reference import (
+        train_torch_perlabel,
+        train_torch_perlevel,
+        train_torch_reference,
+    )
+
+    g, level_labels, n_train, n_val = protocol_parity.build_graph(
+        "amazon", 400, verbose=0, hierarchy="perlabel"
+    )
+    gs = protocol_parity.remask(g, "amazon", n_train, n_val, seed=42)
+    kw = dict(epochs=10, lr=0.05, dropout=0.7, n_hidden=16, seed=42, verbose=0)
+
+    m_pl = train_torch_perlabel(
+        gs, np.asarray(level_labels[-1]), np.asarray(level_labels[-2]), **kw
+    )
+    assert 0.0 <= m_pl["accuracy"] <= 1.0
+    assert 0.0 <= m_pl["f1_macro"] <= 1.0
+
+    m_lvl = train_torch_perlevel(gs, level_labels, **kw)
+    assert 0.0 <= m_lvl["accuracy"] <= 1.0
+
+    # the hierarchy-feature machinery is live: a trained model's logits move
+    # when the appended document features change
+    import dataclasses
+
+    y1 = np.asarray(level_labels[0])
+    y_nodes = np.zeros(gs.n_nodes, np.int32)
+    y_nodes[gs.n_vocab :] = y1.astype(np.int32)
+    hier = np.eye(int(y1.max()) + 1, dtype=np.float32)[y1]
+    g_h = dataclasses.replace(gs, y=y_nodes, hierarchy_feats=hier)
+    res = train_torch_reference(
+        g_h, int(y1.max()) + 1, epochs=5, n_hidden=16, seed=42,
+        return_forward=True,
+    )
+    swapped = res["predict"](hierarchy_feats=np.roll(hier, 1, axis=1))
+    assert not np.allclose(res["predict"](), swapped)
+
+
 def test_protocol_remask_semantics():
     import protocol_parity
 
