@@ -155,13 +155,15 @@ def choose_hot_k(src, n_nodes: int, h: int = 128, itemsize: int = 4,
     return best_k
 
 
-@partial(jax.jit, static_argnames=("n_nodes", "k", "compute_dtype"))
-def _scatter_dense_block(dst_sel, rank_sel, w_sel, hot_ids, *, n_nodes, k,
+@partial(jax.jit, static_argnames=("n_rows", "k", "compute_dtype"))
+def _scatter_dense_block(dst_sel, rank_sel, w_sel, hot_ids, *, n_rows, k,
                          compute_dtype):
     """Device-side accumulation of D[n, k] = sum w(hot_k -> n) + its hot
     rows; dtype cast happens on device too (host bf16 conversion of a
-    677 MB block costs ~30 s via ml_dtypes)."""
-    d_full = jnp.zeros((n_nodes, k), jnp.float32)
+    677 MB block costs ~30 s via ml_dtypes). ``n_rows`` >= n_nodes: under
+    the fused kernel D is built with rows zero-padded to the block
+    multiple, so no per-application pad-copy is ever needed."""
+    d_full = jnp.zeros((n_rows, k), jnp.float32)
     d_full = d_full.at[dst_sel, rank_sel].add(w_sel)
     a_hh = jnp.take(d_full, hot_ids, axis=0)
     cd = jnp.dtype(compute_dtype)
@@ -292,7 +294,7 @@ def build_hybrid_plan(
             jnp.asarray(hot_rank[src[sel]], jnp.int32),
             jnp.asarray(w[sel]),
             jnp.asarray(hot_ids),
-            n_nodes=n_nodes,
+            n_rows=n_rows,
             k=k,
             compute_dtype=compute_dtype,
         )
