@@ -188,7 +188,7 @@ def build_hybrid_sharded_adj(
             jnp.asarray(hot_rank[src[sel]], jnp.int32),
             jnp.asarray(norm_w[sel], jnp.float32),
             jnp.asarray(hot_ids, jnp.int32),
-            n_nodes=n_pad,
+            n_rows=n_pad,
             k=k,
             compute_dtype=compute_dtype,
         )

@@ -263,3 +263,36 @@ def test_plan_carries_calibrated_floor():
     # the hard floor (gather-issue-rate residual, no pad inflation) can
     # never exceed the calibrated prediction
     assert 0 < plan.floor_spmm_ns <= plan.predicted_spmm_ns
+
+
+def test_scatter_dense_block_device_path():
+    # the jitted device-side D build (the TPU branch of build_hybrid_plan /
+    # build_hybrid_sharded_adj, which CPU runs never take) must match the
+    # host np.add.at accumulation, including fused-mode row padding
+    import jax.numpy as jnp
+
+    from pytextgcn_tpu.ops.hybrid import _scatter_dense_block
+
+    g = _rand_graph(seed=31)
+    src, dst = np.asarray(g.edge_src), np.asarray(g.edge_dst)
+    w, _ = gcn_normalize_np(src, dst, g.edge_w, g.n_nodes)
+    k = 32
+    deg = np.bincount(src, minlength=g.n_nodes)
+    hot_ids = np.sort(np.argsort(-deg, kind="stable")[:k]).astype(np.int32)
+    hot_rank = np.full(g.n_nodes, -1, np.int64)
+    hot_rank[hot_ids] = np.arange(k)
+    sel = hot_rank[src] >= 0
+
+    for n_rows in (g.n_nodes, -(-g.n_nodes // 512) * 512):  # plain / fused-padded
+        d_dev, a_dev = _scatter_dense_block(
+            jnp.asarray(dst[sel], jnp.int32),
+            jnp.asarray(hot_rank[src[sel]], jnp.int32),
+            jnp.asarray(w[sel], jnp.float32),
+            jnp.asarray(hot_ids),
+            n_rows=n_rows, k=k, compute_dtype="float32",
+        )
+        d_host = np.zeros((n_rows, k), np.float32)
+        np.add.at(d_host, (dst[sel], hot_rank[src[sel]]), w[sel])
+        np.testing.assert_allclose(np.asarray(d_dev), d_host, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(a_dev), d_host[hot_ids], rtol=1e-6)
+        assert not np.asarray(d_dev)[g.n_nodes :].any()  # padded rows stay zero
