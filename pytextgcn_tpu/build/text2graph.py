@@ -36,7 +36,7 @@ class Text2Graph:
         min_df: Union[int, float] = 5,
         window_size: int = 20,
         save_path: Optional[str] = None,
-        n_jobs: int = 1,
+        n_jobs: Optional[int] = None,
         max_df: Union[int, float] = 1.0,
         verbose: int = 0,
         rm_stopwords: bool = True,
@@ -50,9 +50,10 @@ class Text2Graph:
 
         ``n_jobs``: thread count for the native counting kernel. The
         reference documents this knob but never uses it (graphbuilder.pyx:36);
-        here ``n_jobs > 1`` pins exactly that many threads and the default
-        ``1`` keeps the kernel's own choice (hardware concurrency) — counting
-        is embarrassingly parallel over documents, so there is no reason to
+        here ``n_jobs >= 1`` pins exactly that many threads (sklearn-style:
+        ``n_jobs=1`` really is single-threaded) and the default ``None``
+        keeps the kernel's own choice (hardware concurrency) — counting is
+        embarrassingly parallel over documents, so there is no reason to
         serialize it by default."""
         assert min_df > 0
         self.min_df = min_df
@@ -127,7 +128,7 @@ class Text2Graph:
         self._log(1, "Building word-word edges...")
         ww_coo, ww_w, n_windows = word_word_edges(
             tokens, n_vocab, self.window_size, backend=self.backend,
-            n_jobs=self.n_jobs if self.n_jobs and self.n_jobs > 1 else 0,
+            n_jobs=self.n_jobs or 0,  # None -> 0 = hardware concurrency
         )
         self._log(2, f"Number of word-word-edges: {len(ww_w)} ({n_windows} windows)")
 

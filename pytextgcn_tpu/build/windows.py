@@ -355,7 +355,7 @@ def word_word_edges_sharded(
             chunk, n_real = nxt
             out = _pair_count_chunk(_jax.device_put(chunk, dev), window_size)
             in_flight[i].append((out, chunk.shape[0] - n_real))
-            if len(in_flight[i]) > 2:
+            if len(in_flight[i]) >= 2:
                 materialized.append(_materialize_counted(in_flight[i].pop(0)))
     for q in in_flight:
         materialized.extend(_materialize_counted(item) for item in q)

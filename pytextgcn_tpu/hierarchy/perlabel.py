@@ -143,6 +143,10 @@ def train_per_label(
         )
         model = model_factory(g_c.in_dim, len(classes))
         trainer = Trainer(model, lr=lr, seed=seed, **trainer_kwargs)
+        if trainers:
+            # members differ only in labels/masks — the normalized adjacency
+            # (+ hybrid/Pallas plans) is identical, build it once
+            trainer.share_adjacency(trainers[0])
         hist = trainer.fit(
             g_c, epochs=epochs, n_classes=len(classes), verbose=verbose
         )

@@ -82,6 +82,9 @@ def train_per_level(
         g_lvl = _with_labels_and_feats(g, y, hierarchy_gt)
         model = model_factory(g_lvl.in_dim, n_classes)
         trainer = Trainer(model, lr=lr, seed=seed + lvl, **trainer_kwargs)
+        if trainers:
+            # levels swap labels/features only; the operator is shared
+            trainer.share_adjacency(trainers[0])
         hist = trainer.fit(g_lvl, epochs=epochs, n_classes=n_classes, verbose=verbose)
         trainers.append(trainer)
         histories.append(hist)

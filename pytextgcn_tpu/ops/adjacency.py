@@ -63,6 +63,8 @@ class NormAdj:
         dst = np.asarray(g.edge_dst)
         norm_w, self_w = gcn_normalize_np(src, dst, g.edge_w, g.n_nodes)
         plan = None
+        if hybrid_k == 0:  # explicit 0 = decomposition off (same contract as
+            hybrid_k = None  # build_hybrid_plan) -> segment path unless use_pallas
         if hybrid_k is not None:
             from .hybrid import build_hybrid_plan
 

@@ -189,26 +189,37 @@ def build_halo_core(
     )
 
 
-def spmm_halo(adj: HaloAdj, x: jax.Array) -> jax.Array:
+def spmm_halo(
+    adj: HaloAdj, x: jax.Array, compute_dtype: Optional[str] = None
+) -> jax.Array:
     """``A_hat @ x`` with row-sharded activations and boundary-only exchange.
 
     ``x``: [N, H] (any sharding; constrained to row-sharded on entry).
     Returns [N, H] row-sharded. Differentiable: ppermute transposes to the
     reverse permutation, gathers to scatter-adds — all inside shard_map.
+
+    ``compute_dtype``: cast gathered rows/weights to this dtype before the
+    per-edge multiplies and halo sends (halving ICI bytes in bf16 mode);
+    accumulation stays float32 — the same operand/accumulator split the
+    Pallas kernel and the hybrid's MXU matmuls use, so the sharded-hybrid
+    bf16 mode is consistent across its dense and residual halves.
     """
     d, rows_per, axis = adj.n_shards, adj.rows_per, adj.axis
     n, h = x.shape
+    cd = None if compute_dtype is None else jnp.dtype(compute_dtype)
     x_pad = x if n == adj.n_pad else jnp.pad(x, ((0, adj.n_pad - n), (0, 0)))
     x_pad = jax.lax.with_sharding_constraint(
         x_pad, jax.sharding.NamedSharding(adj.mesh, P(axis, None))
     )
 
     def local(x_blk, own_src, own_dst, own_w, send_idx, rem_pos, rem_dst, rem_w, self_w):
-        x_own = x_blk  # (rows_per, h): the shard's own activation rows
+        x_own = x_blk if cd is None else x_blk.astype(cd)
         own_src, own_dst, own_w = own_src[0], own_dst[0], own_w[0]
         send_idx, rem_pos = send_idx[0], rem_pos[0]
         rem_dst, rem_w = rem_dst[0], rem_w[0]
         self_w = self_w[0]
+        if cd is not None:
+            own_w, rem_w, self_w = own_w.astype(cd), rem_w.astype(cd), self_w.astype(cd)
 
         # issue EVERY halo send first — no dependency on the local compute,
         # so the scheduler overlaps the ICI permutes with the own-block work
@@ -218,12 +229,16 @@ def spmm_halo(adj: HaloAdj, x: jax.Array) -> jax.Array:
             send = jnp.take(x_own, send_idx[s], axis=0)
             recvs.append(jax.lax.ppermute(send, axis, perm))
 
-        contrib = own_w[:, None] * jnp.take(x_own, own_src, axis=0)
+        contrib = (own_w[:, None] * jnp.take(x_own, own_src, axis=0)).astype(
+            jnp.float32
+        )
         out = jax.ops.segment_sum(contrib, own_dst, num_segments=rows_per)
         for s in range(d - 1):
-            c = rem_w[s][:, None] * jnp.take(recvs[s], rem_pos[s], axis=0)
+            c = (rem_w[s][:, None] * jnp.take(recvs[s], rem_pos[s], axis=0)).astype(
+                jnp.float32
+            )
             out = out + jax.ops.segment_sum(c, rem_dst[s], num_segments=rows_per)
-        return out + self_w[:, None] * x_own
+        return out + (self_w[:, None] * x_own).astype(jnp.float32)
 
     fn = jax.shard_map(
         local,

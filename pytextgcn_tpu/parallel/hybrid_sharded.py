@@ -306,5 +306,8 @@ def spmm_hybrid_sharded(adj: HybridShardedAdj, x: jax.Array) -> jax.Array:
     )
     dense = fn(x_pad, adj.d_blk, adj.hot_rows, adj.hot_ranks, adj.a_hh,
                adj.hot_unpack)
-    # residual + self-loop diagonal (handles its own padding/slicing)
-    return dense[:n] + spmm_halo(adj.halo_res, x)
+    # residual + self-loop diagonal (handles its own padding/slicing);
+    # bf16 mode propagates so the residual's wire/multiply dtype matches
+    # the dense half (accumulation stays f32 either way)
+    res_cd = None if cd == jnp.float32 else adj.compute_dtype
+    return dense[:n] + spmm_halo(adj.halo_res, x, compute_dtype=res_cd)

@@ -82,7 +82,11 @@ class Trainer:
 
     def _steps(self, n_classes: int):
         if self.step_cache is not None and hasattr(self.model, "config_key"):
-            key = (self.model.config_key(), n_classes, self._opt_desc)
+            # debug_checks is part of the key: a checkified step synchronizes
+            # every epoch and an unchecked one detects nothing — trainers
+            # sharing a cache must never serve each other the wrong variant
+            key = (self.model.config_key(), n_classes, self._opt_desc,
+                   self.debug_checks)
             if key not in self.step_cache:
                 self.step_cache[key] = self._build_steps(n_classes)
             return self.step_cache[key]
@@ -184,6 +188,30 @@ class Trainer:
             self._adj_n_nodes = g.n_nodes
         self._feats = NodeFeatures.from_graph(g)
         return self._adj, self._feats
+
+    def share_adjacency(self, other: "Trainer") -> None:
+        """Adopt another trainer's prepared adjacency operator.
+
+        Hierarchy ensembles/cascades swap labels, masks and features via
+        ``dataclasses.replace`` while the edge arrays stay the same objects;
+        the normalized operator (+ hybrid/Pallas plans — expensive host and
+        device work) is identical, so members can share one build instead of
+        each re-running it. Only valid between trainers with the same
+        aggregation settings; :meth:`prepare`'s edge-identity check still
+        guards against a different graph."""
+        if other._adj is None:
+            return
+        if (
+            (self.use_pallas, self.hybrid_k, self.hybrid_fused, self.halo,
+             self.mesh) !=
+            (other.use_pallas, other.hybrid_k, other.hybrid_fused, other.halo,
+             other.mesh)
+        ):
+            return
+        self._adj = other._adj
+        self._adj_edge_src = other._adj_edge_src
+        self._adj_edge_w = other._adj_edge_w
+        self._adj_n_nodes = other._adj_n_nodes
 
     def _init_state(self, init_key) -> None:
         """Make params/opt_state ready to train: init whatever is missing,
@@ -433,6 +461,10 @@ class Trainer:
 
         if self.params is None:
             self.params = self.model.init(jax.random.PRNGKey(0))
+        if self.opt_state is None:
+            # params may have been set externally (EP slicing, warm starts)
+            # with no optimizer state; the template must still exist or the
+            # checkpointed opt state would be silently dropped
             self.opt_state = self.optimizer.init(self.params)
         self.params, self.opt_state = load_checkpoint(path, self.params, self.opt_state)
         meta = load_meta(path)

@@ -95,3 +95,20 @@ def test_halo_end_to_end_training():
     )
     m = t_halo.evaluate(g, n_classes=3)
     assert 0.0 <= m["accuracy"] <= 1.0
+
+
+def test_halo_bf16_compute_dtype():
+    # spmm_halo(compute_dtype='bfloat16'): bf16 operands/wire, f32
+    # accumulation — close to the f32 result at bf16 tolerance
+    from pytextgcn_tpu.parallel.halo import spmm_halo
+
+    g = _graph(seed=13)
+    mesh = make_mesh(4)
+    adj_h = build_halo_adj(g, mesh)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((g.n_nodes, 8)), jnp.float32
+    )
+    ref = jax.jit(spmm)(adj_h, x)
+    got = jax.jit(lambda a, v: spmm_halo(a, v, compute_dtype="bfloat16"))(adj_h, x)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-2, atol=3e-2)

@@ -80,3 +80,19 @@ def test_checkpoint_roundtrip(tmp_path, hier_corpus):
     loaded, _ = load_checkpoint(str(tmp_path / "ck"), params)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ensemble_members_share_adjacency(hier_corpus):
+    """Sequential per-label members differ only in labels/masks — they must
+    share one prepared adjacency operator instead of rebuilding it."""
+    from pytextgcn_tpu.hierarchy.perlabel import train_per_label
+    from pytextgcn_tpu.models import GCN
+
+    g, y_child, y_parent, _ = hier_corpus
+    ens = train_per_label(
+        g, y_child, y_parent,
+        lambda i, o: GCN(i, o, n_hidden_gcn=8, dropout=0.0),
+        epochs=2, seed=0,
+    )
+    adjs = {id(t._adj) for t in ens["trainers"]}
+    assert len(adjs) == 1

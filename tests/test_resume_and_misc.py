@@ -144,3 +144,48 @@ def test_debug_checks_catches_nan(small_graph):
                  seed=0, debug_checks=True)
     with pytest.raises(Exception, match="(?i)nan"):
         t2.fit(g_bad, epochs=3, n_classes=3)
+
+
+def test_restore_keeps_opt_state_without_template(tmp_path, small_graph):
+    """restore() must not discard the checkpointed optimizer state when
+    params were set externally but opt_state is None (the EP-slice /
+    warm-start shape): the resumed trajectory must match a trainer restored
+    with full templates."""
+    g = small_graph
+    mk = lambda: GCN(g.in_dim, 3, n_hidden_gcn=16, dropout=0.5)
+
+    t_a = Trainer(mk(), lr=0.05, seed=9)
+    t_a.fit(g, epochs=8, n_classes=3)
+    t_a.save(str(tmp_path / "ck"), epoch=8)
+
+    # full-template restore (the known-good path)
+    t_ref = Trainer(mk(), lr=0.05, seed=9)
+    e = t_ref.restore(str(tmp_path / "ck"))
+    t_ref.fit(g, epochs=12, n_classes=3, start_epoch=e)
+
+    # params set externally, opt_state left None
+    t_b = Trainer(mk(), lr=0.05, seed=9)
+    t_b.params = mk().init(__import__("jax").random.PRNGKey(123))
+    e = t_b.restore(str(tmp_path / "ck"))
+    t_b.fit(g, epochs=12, n_classes=3, start_epoch=e)
+
+    import jax
+
+    for a, b in zip(jax.tree.leaves(t_ref.params), jax.tree.leaves(t_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_debug_checks_gets_own_cached_step(small_graph):
+    """A shared step_cache must never serve an unchecked step to a
+    debug_checks trainer (or vice versa)."""
+    g = small_graph
+    cache = {}
+    t_plain = Trainer(GCN(g.in_dim, 3, n_hidden_gcn=16), seed=1, step_cache=cache)
+    t_plain.fit(g, epochs=1, n_classes=3)
+    t_dbg = Trainer(
+        GCN(g.in_dim, 3, n_hidden_gcn=16), seed=1, step_cache=cache,
+        debug_checks=True,
+    )
+    t_dbg.fit(g, epochs=1, n_classes=3)
+    train_keys = [k for k in cache if k[0] != "predict"]
+    assert len(train_keys) == 2  # one checked, one unchecked

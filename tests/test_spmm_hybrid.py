@@ -296,3 +296,13 @@ def test_scatter_dense_block_device_path():
         np.testing.assert_allclose(np.asarray(d_dev), d_host, rtol=1e-6)
         np.testing.assert_allclose(np.asarray(a_dev), d_host[hot_ids], rtol=1e-6)
         assert not np.asarray(d_dev)[g.n_nodes :].any()  # padded rows stay zero
+
+
+def test_hybrid_k_zero_means_segment_path():
+    # explicit hybrid_k=0 disables the decomposition entirely: no hybrid
+    # plan AND no pallas fallback unless use_pallas asked for it
+    g = _rand_graph(seed=41)
+    adj = NormAdj.from_graph(g, use_pallas=False, hybrid_k=0)
+    assert adj.plan is None
+    adj_p = NormAdj.from_graph(g, use_pallas=True, hybrid_k=0)
+    assert adj_p.plan is not None and not isinstance(adj_p.plan, HybridPlan)
