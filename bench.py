@@ -117,30 +117,56 @@ def bench_scale(g, variants):
     opt_state = opt.init(params)
     rng = jax.random.PRNGKey(1)
 
+    # masked-head step (ops/restricted.py): the final layer aggregates into
+    # the train rows only — the exact same gradients (GCN dropout sits on
+    # hidden), with 2 of the 4 SpMMs cut to the train-incident edge subset
+    rows = np.flatnonzero(np.asarray(g.train_mask))
+    y_r = jnp.asarray(np.asarray(g.y)[rows])
+    mask_r = jnp.ones(len(rows), bool)
+
+    @jax.jit
+    def step_fn_masked(adj, adj_out, params, opt_state, rng):
+        def loss_fn(p):
+            logits = model.apply(p, adj, feats, train=True, rng=rng,
+                                 adj_out=adj_out)
+            return masked_cross_entropy(logits, y_r, mask_r)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
     results, preds = {}, {}
     for name, kwargs in variants:
+        masked = kwargs.pop("masked_head", False)
         t0 = time.time()
         try:
             adj = NormAdj.from_graph(g, **kwargs)
+            adj_out = None
+            if masked:
+                from pytextgcn_tpu.ops.restricted import build_restricted_adj
+
+                adj_out = build_restricted_adj(g, rows, hot_k="auto")
         except Exception as e:
             log(f"  {name}: adjacency build failed ({type(e).__name__}: {e})")
             continue
         build_s = time.time() - t0
         try:
-            dt, loss = time_step(
-                lambda p, s, r: step_fn(adj, p, s, r), params, opt_state, rng,
-                EPOCHS_MEASURED,
-            )
+            if masked:
+                run = lambda p, s, r: step_fn_masked(adj, adj_out, p, s, r)
+            else:
+                run = lambda p, s, r: step_fn(adj, p, s, r)
+            dt, loss = time_step(run, params, opt_state, rng, EPOCHS_MEASURED)
         except Exception as e:
             log(f"  {name}: step failed ({type(e).__name__}: {e})")
             continue
         results[name] = dt
-        # hard per-SpMM floor of the variant's decomposition (hybrid plans
-        # carry it; other paths have no modeled floor) + the chosen K
-        preds[name] = (
-            getattr(adj.plan, "floor_spmm_ns", None),
-            getattr(adj.plan, "k", None),
-        )
+        # hard per-SpMM-equivalent floor of the variant's decomposition
+        # (hybrid plans carry it; the masked step runs 2 full + 2 restricted
+        # applications, so its per-application floor is the mean of the two)
+        floor = getattr(adj.plan, "floor_spmm_ns", None)
+        if masked and floor is not None and adj_out is not None:
+            floor = (2 * floor + 2 * adj_out.floor_spmm_ns) / 4
+        preds[name] = (floor, getattr(adj.plan, "k", None))
         log(
             f"  {name}: {dt * 1e3:.2f} ms/step "
             f"({4 * g.n_edges / dt / 1e9:.3f} G edge-trav/s; "
@@ -166,6 +192,7 @@ def main():
             ("segment f32", dict()),
             ("pallas f32", dict(use_pallas=True)),
             ("hybrid f32", dict(hybrid_k="auto")),
+            ("hybrid f32 masked-head", dict(hybrid_k="auto", masked_head=True)),
             ("hybrid bf16", dict(hybrid_k="auto", pallas_dtype="bfloat16")),
         ]
         if n_docs != scales[0]:
@@ -180,7 +207,7 @@ def main():
     # every f32 variant (including the segment baseline) is parity-exact;
     # if all f32 candidates failed, fall back to whatever ran — the
     # best_path field makes the non-parity fallback visible
-    f32 = {k: v for k, v in res.items() if k.endswith("f32")}
+    f32 = {k: v for k, v in res.items() if "f32" in k}
     candidates = f32 or res
     if not candidates:
         log("all variants failed — no benchmark result")

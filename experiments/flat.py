@@ -60,6 +60,7 @@ def main(argv=None):
         use_pallas=cfg.train.use_pallas, hybrid_k=hybrid_k_arg(cfg.train),
         hybrid_fused=hybrid_fused_arg(cfg.train),
         debug_checks=cfg.train.debug_checks,
+        masked_head=cfg.train.masked_head,
     )
     if cfg.train.batch_size > 0:
         trainer.fit_minibatch(

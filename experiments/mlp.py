@@ -25,11 +25,12 @@ def main(argv=None):
         hierarchy = argv[i + 1]
         del argv[i : i + 2]
     cfg = parse_config(argv)
-    levels = (
-        ["lvl1", "lvl2"]
-        if cfg.dataset == "synthetic"
-        else (["Cat1", "Cat2"] if cfg.dataset == "amazon" else ["l1", "l2", "l3"])
-    )
+    levels = {
+        "synthetic": ["lvl1", "lvl2"],
+        "synthetic-amazon": ["lvl1", "lvl2"],
+        "amazon": ["Cat1", "Cat2"],
+        "synthetic-dbpedia": ["l1", "l2", "l3"],
+    }.get(cfg.dataset, ["l1", "l2", "l3"])
     docs, level_labels, test_idx, val_idx = load_corpus(cfg, levels=levels)
     n = len(docs)
     mask = np.zeros(n, np.int8)  # 0 train, 1 val, 2 test

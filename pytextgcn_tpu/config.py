@@ -61,6 +61,9 @@ class TrainConfig:
     # checkify-instrumented steps: raise on NaN/Inf/out-of-bounds at the
     # offending epoch (slow; forces the segment aggregation) — SURVEY §5
     debug_checks: bool = False
+    # masked-head training (ops/restricted.py): the final layer aggregates
+    # into the train rows only — exact for GCN (dropout on hidden layers)
+    masked_head: bool = False
     verbose: int = 1
 
 

@@ -83,17 +83,24 @@ class GCN:
         *,
         train: bool = False,
         rng: Optional[jax.Array] = None,
+        adj_out=None,
     ) -> jax.Array:
+        """``adj_out``: optional output-row-restricted operator
+        (ops/restricted.py) used for the FINAL layer's aggregation — the
+        training fast path that skips all rows the masked loss never reads
+        (returns [M, out_dim] for its M rows). Evaluation passes None."""
         layers = params["layers"]
         # layer 1: structured X @ W, then aggregate
         h = spmm(adj, feats.matmul(layers[0]["w"])) + layers[0]["b"]
         for i, layer in enumerate(layers[1:]):
+            last = i == len(layers) - 2
             if self.activation is not None:
                 h = self.activation(h)
             if train:
                 rng, sub = jax.random.split(rng)
                 h = dropout(sub, h, self.dropout, train)
-            h = spmm(adj, h @ layer["w"]) + layer["b"]
+            a = adj_out if (last and adj_out is not None) else adj
+            h = spmm(a, h @ layer["w"]) + layer["b"]
         return h
 
 
@@ -130,14 +137,19 @@ class EGCN(GCN):
             ],
         }
 
-    def apply(self, params, adj, feats, *, train=False, rng=None):
+    def apply(self, params, adj, feats, *, train=False, rng=None, adj_out=None):
         h = feats.matmul(params["embed"]["w"]) + params["embed"]["b"]
         h = jax.nn.selu(h)
         if train:
             rng, sub = jax.random.split(rng)
             h = dropout(sub, h, self.dropout, train)
-        for layer in params["layers"]:
-            h = spmm(adj, h @ layer["w"]) + layer["b"]
+        for i, layer in enumerate(params["layers"]):
+            a = (
+                adj_out
+                if (adj_out is not None and i == len(params["layers"]) - 1)
+                else adj
+            )
+            h = spmm(a, h @ layer["w"]) + layer["b"]
             # Reference quirk kept: EGCN's loop condition
             # ``i < len(self.layers) - 1`` over ``layers[1:]`` is always true
             # (models.py:46-50), so dropout hits every GCN layer — including

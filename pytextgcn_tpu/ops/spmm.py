@@ -34,7 +34,10 @@ def spmm(adj, x: jax.Array) -> jax.Array:
     from ..parallel.halo import HaloAdj, spmm_halo
     from ..parallel.hybrid_sharded import HybridShardedAdj, spmm_hybrid_sharded
     from ..parallel.sharded import ShardedAdj, spmm_sharded
+    from .restricted import RestrictedAdj, spmm_restricted
 
+    if isinstance(adj, RestrictedAdj):
+        return spmm_restricted(adj, x)
     if isinstance(adj, HybridShardedAdj):
         return spmm_hybrid_sharded(adj, x)
     if isinstance(adj, HaloAdj):

@@ -39,6 +39,7 @@ class Trainer:
         halo: bool = False,
         tp_mesh=None,
         debug_checks: bool = False,
+        masked_head: bool = False,
     ):
         """``mesh``: a `jax.sharding.Mesh` with a 'graph' axis — training
         then runs with the aggregation edge-partitioned across the mesh
@@ -72,6 +73,15 @@ class Trainer:
         if debug_checks:
             self.use_pallas = False
             self.hybrid_k = None
+            masked_head = False  # checkify cannot instrument pallas_call
+        # masked-head training (ops/restricted.py): the final layer's
+        # aggregation runs only over the train rows during fit() — the rows
+        # the masked loss reads — cutting 2 of the step's 4 SpMMs to the
+        # train-incident edge subset. Exact for models whose dropout sits on
+        # hidden layers (GCN); EGCN's logit dropout draws a differently-
+        # shaped mask, so its trajectory is statistically equivalent rather
+        # than bit-equal. Single-device paths only (mesh=None).
+        self.masked_head = masked_head
         self.step_cache = step_cache
         self.params = None
         self.opt_state = None
@@ -86,7 +96,7 @@ class Trainer:
             # every epoch and an unchecked one detects nothing — trainers
             # sharing a cache must never serve each other the wrong variant
             key = (self.model.config_key(), n_classes, self._opt_desc,
-                   self.debug_checks)
+                   self.debug_checks, self.masked_head)
             if key not in self.step_cache:
                 self.step_cache[key] = self._build_steps(n_classes)
             return self.step_cache[key]
@@ -94,9 +104,11 @@ class Trainer:
 
     def _build_steps(self, n_classes: int):
         model, opt = self.model, self.optimizer
+        masked_head = self.masked_head
 
         @jax.jit
-        def train_step(params, opt_state, base_key, epoch, adj, feats, y, mask):
+        def train_step(params, opt_state, base_key, epoch, adj, feats, y, mask,
+                       adj_out=None):
             # rng derived in-graph (fold_in) from a device-resident epoch
             # counter that the step itself increments: zero per-epoch host
             # work — no eager splits, no scalar h2d — so the loop pipelines
@@ -104,7 +116,14 @@ class Trainer:
             rng = jax.random.fold_in(base_key, epoch)
 
             def loss_fn(p):
-                logits = model.apply(p, adj, feats, train=True, rng=rng)
+                if masked_head:
+                    # logits only at adj_out's rows (== the train rows);
+                    # y/mask arrive pre-sliced to those rows by fit()
+                    logits = model.apply(
+                        p, adj, feats, train=True, rng=rng, adj_out=adj_out
+                    )
+                else:
+                    logits = model.apply(p, adj, feats, train=True, rng=rng)
                 return masked_cross_entropy(logits, y, mask)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -213,6 +232,27 @@ class Trainer:
         self._adj_edge_w = other._adj_edge_w
         self._adj_n_nodes = other._adj_n_nodes
 
+    def _prepare_restricted(self, g: TextGraph, rows: np.ndarray):
+        """Build (and cache by edge/mask identity) the output-row-restricted
+        head operator for masked-head training (ops/restricted.py)."""
+        cached = (
+            getattr(self, "_adj_out", None) is not None
+            and getattr(self, "_adj_out_edge_src", None) is g.edge_src
+            and getattr(self, "_adj_out_mask", None) is g.train_mask
+        )
+        if not cached:
+            from ..ops.restricted import build_restricted_adj
+
+            hk = self.hybrid_k
+            self._adj_out = build_restricted_adj(
+                g, rows,
+                use_pallas=self.use_pallas or hk is not None,
+                hot_k="auto" if hk is not None else None,
+            )
+            self._adj_out_edge_src = g.edge_src
+            self._adj_out_mask = g.train_mask
+        return self._adj_out
+
     def _init_state(self, init_key) -> None:
         """Make params/opt_state ready to train: init whatever is missing,
         and (re-)apply tensor-parallel shardings — params may have been set
@@ -267,6 +307,21 @@ class Trainer:
         y = jnp.asarray(g.y)
         train_mask = jnp.asarray(g.train_mask)
         val_mask = jnp.asarray(g.val_mask)
+        adj_out = None
+        if self.masked_head and self.mesh is None:
+            # head restricted to the train rows; labels/mask pre-sliced so
+            # the masked-CE sees exactly the same terms as the full step
+            rows = np.flatnonzero(np.asarray(g.train_mask))
+            adj_out = self._prepare_restricted(g, rows)
+            y_step = jnp.asarray(np.asarray(g.y)[rows])
+            mask_step = jnp.ones(len(rows), bool)
+            step = lambda p, s, k, e: train_step(
+                p, s, k, e, adj, feats, y_step, mask_step, adj_out
+            )
+        else:
+            step = lambda p, s, k, e: train_step(
+                p, s, k, e, adj, feats, y, train_mask
+            )
 
         key = jax.random.PRNGKey(self.seed)
         key, init_key, base_key = jax.random.split(key, 3)
@@ -288,8 +343,8 @@ class Trainer:
         t0 = time.time()
         epoch_dev = jnp.asarray(start_epoch, jnp.int32)
         for epoch in range(start_epoch, epochs):
-            self.params, self.opt_state, epoch_dev, loss = train_step(
-                self.params, self.opt_state, base_key, epoch_dev, adj, feats, y, train_mask
+            self.params, self.opt_state, epoch_dev, loss = step(
+                self.params, self.opt_state, base_key, epoch_dev
             )
             # Fetching the loss scalar forces a device sync; on remote
             # (tunneled) TPU backends that round trip costs far more than
