@@ -81,23 +81,39 @@ class RestrictedAdj:
     floor_spmm_ns: float = 0.0
 
 
+def _padded_slots(dst_local: np.ndarray, m: int) -> int:
+    """Exact slot count a tile plan would allocate for these edges: per
+    ROW_BLOCK destination block, edges round up to EDGE_TILE (and every
+    block pays at least one tile). The restricted head's residuals are
+    small enough that this padding — not the raw edge count — is the cost."""
+    from .spmm_pallas import EDGE_TILE, ROW_BLOCK
+
+    n_blocks = max(1, -(-m // ROW_BLOCK))
+    counts = np.bincount(dst_local // ROW_BLOCK, minlength=n_blocks)
+    return int(np.maximum(-(-counts // EDGE_TILE), 1).sum() * EDGE_TILE)
+
+
 def build_restricted_adj(
     g: TextGraph,
     rows: np.ndarray,
     use_pallas: bool = False,
     hot_k=None,
     compute_dtype: str = "float32",
+    resid_mode: str = "auto",
 ) -> RestrictedAdj:
     """Host-side build. ``rows``: sorted unique global node ids (the train
     rows). ``hot_k``: as in ops/hybrid.py ('auto' = cost model over the
-    restricted edge subset; no symmetry requirement here)."""
+    restricted edge subset; no symmetry requirement here). ``resid_mode``:
+    'pallas' | 'segment' | 'auto' — the src-cold residual of a restricted
+    head is typically a few hundred k edges, where the segment path's
+    per-row gather beats the tile kernel's block padding; 'auto' picks by
+    modeled cost."""
     from .hybrid import (
         _EDGE_NS,
         _GATHER_NS,
         _HBM_BPS,
         _MXU_BF16_FACTOR,
         _MXU_F32_HIGHEST,
-        _PAD_FACTOR,
     )
     from .spmm_pallas import _build_tile_plan
 
@@ -116,25 +132,35 @@ def build_restricted_adj(
 
     if hot_k == 0:
         hot_k = None
+
+    def _resid_ns(dst_l, n_edges):
+        """Modeled residual cost: best of the tile kernel at its EXACT
+        padded slot count and the segment path (measured on-chip at ~4x the
+        raw gather issue rate once the scatter half and launch overheads
+        are in — probe_restricted.py)."""
+        pallas_ns = _padded_slots(dst_l, m) * _EDGE_NS
+        segment_ns = n_edges * 4 * _GATHER_NS
+        return min(pallas_ns, segment_ns)
+
     if hot_k == "auto":
         # restricted cost model: dst is always in `rows`, so the residual is
         # exactly the src-cold edges (no (1-cov)^2 independence estimate),
         # and D_r streams ONCE per application (no transposed term)
         deg0 = np.bincount(r_src, minlength=n)
-        cum = np.concatenate(
-            [[0], np.cumsum(deg0[np.argsort(-deg0, kind="stable")])]
-        )
-        e = len(r_src)
+        rank0 = np.empty(n, np.int64)
+        order0 = np.argsort(-deg0, kind="stable")
+        rank0[order0] = np.arange(n)
+        src_rank = rank0[r_src]
         mxu = _MXU_F32_HIGHEST * (1 if itemsize == 4 else _MXU_BF16_FACTOR)
-        best_k, best_t = 0, e * _PAD_FACTOR * _EDGE_NS
+        best_k, best_t = 0, _resid_ns(r_dst, len(r_src))
         for cand in (512, 1024, 2048, 4096, 8192):
             if cand >= n or m * cand * itemsize > 1.5e9:
                 continue
-            resid = (e - cum[cand]) * _PAD_FACTOR
+            cold = src_rank >= cand
             dense_ns = max(
                 m * cand * itemsize / _HBM_BPS, 2 * m * cand * 128 / mxu
             ) * 1e9
-            t = dense_ns + resid * _EDGE_NS
+            t = dense_ns + _resid_ns(r_dst[cold], int(cold.sum()))
             if t < best_t:
                 best_k, best_t = cand, t
         hot_k = best_k
@@ -169,10 +195,20 @@ def build_restricted_adj(
         csel = ~hsel
         n_resid = int(csel.sum())
         if n_resid:
-            res_fwd = _build_tile_plan(r_src[csel], r_dst[csel], r_w[csel], m)
-            res_bwd = _build_tile_plan(r_dst[csel], r_src[csel], r_w[csel], n)
+            use_tiles = resid_mode == "pallas" or (
+                resid_mode == "auto"
+                and _padded_slots(r_dst[csel], m) * _EDGE_NS
+                < n_resid * 2 * _GATHER_NS
+            )
+            if use_tiles:
+                res_fwd = _build_tile_plan(r_src[csel], r_dst[csel], r_w[csel], m)
+                res_bwd = _build_tile_plan(r_dst[csel], r_src[csel], r_w[csel], n)
+            else:
+                seg_src = jnp.asarray(r_src[csel], jnp.int32)
+                seg_dst = jnp.asarray(r_dst[csel], jnp.int32)
+                seg_w = jnp.asarray(r_w[csel], jnp.float32)
         floor = m * k * itemsize / _HBM_BPS * 1e9 + n_resid * _GATHER_NS
-    elif use_pallas:
+    elif use_pallas and resid_mode != "segment":
         res_fwd = _build_tile_plan(r_src, r_dst, r_w, m)
         res_bwd = _build_tile_plan(r_dst, r_src, r_w, n)
     else:
