@@ -140,6 +140,8 @@ int64_t tg_fit_counts(const char* text, const int64_t* offsets, int64_t n_docs,
 
   // CSR counts (columns sorted per row)
   int64_t* indptr = (int64_t*)std::malloc(sizeof(int64_t) * (n_docs + 1));
+  if (!indptr) return -1;  // MemoryError on the Python side, like every
+                           // other allocation in this file
   std::vector<int32_t> cols;
   std::vector<int64_t> vals;
   std::vector<std::pair<int32_t, int64_t>> rowbuf;

@@ -213,7 +213,14 @@ def native_fit_counts(docs, stop_words, min_doc_count: int, max_doc_count: int):
 
 
 def native_encode(docs, vocabulary_sorted_terms, max_length=None):
-    """C++ token-id encoding (reference _encode_input semantics)."""
+    """C++ token-id encoding (reference _encode_input semantics).
+
+    ``max_length=None`` disables truncation; ``0`` truncates every document
+    to zero tokens (degenerate but well-defined — the Python path slices
+    ``ids[:0]``, and the two paths must agree; the C ABI uses 0 for
+    'disabled', so the 0 case short-circuits here)."""
+    if max_length == 0:
+        return np.zeros((len(docs), 0), np.int32)
     lib = load_native()
     text, offsets = _pack_docs(docs)
     vocab = ("\n".join(vocabulary_sorted_terms) + "\n").encode("utf-8")

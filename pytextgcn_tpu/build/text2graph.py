@@ -21,7 +21,6 @@ import os
 import time
 from typing import Dict, List, Optional, Sequence, Union
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..core.graph import TextGraph
@@ -180,7 +179,7 @@ class Text2Graph:
 
     @staticmethod
     def load_graph(path: str) -> TextGraph:
-        if not os.path.exists(path):
+        if not os.path.exists(path) and not os.path.exists(path + ".npz"):
             raise FileNotFoundError("Given file does not exist!")
         return TextGraph.load(path)
 

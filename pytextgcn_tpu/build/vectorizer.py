@@ -184,7 +184,11 @@ class CountVectorizer:
         if self._tokens is not None and docs is getattr(self, "_fit_docs", None):
             streams = self._tokens
         else:
-            streams = [tokenize(d) for d in docs]
+            # honor the vectorizer's case mode off the cached fast path too
+            streams = [
+                tokenize(d) if self.lowercase else _TOKEN_RE.findall(d)
+                for d in docs
+            ]
         enc = []
         for toks in streams:
             ids = [vocab[t] for t in toks if t in vocab]

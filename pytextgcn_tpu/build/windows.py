@@ -195,7 +195,10 @@ def _merge_pair_lists(parts):
     pairs with summed counts."""
     a = np.concatenate([p[0] for p in parts])
     b = np.concatenate([p[1] for p in parts])
-    c = np.concatenate([p[2] for p in parts])
+    # per-chunk counts are int32 (bounded by the chunk pair budget); the
+    # MERGED totals can exceed 2^31 on huge corpora — widen before reduceat
+    # so the device backend matches the native kernel's uint32+ semantics
+    c = np.concatenate([p[2] for p in parts]).astype(np.int64)
     order = np.lexsort((b, a))
     a, b, c = a[order], b[order], c[order]
     if a.shape[0] == 0:
@@ -328,10 +331,8 @@ def word_word_edges_sharded(
     the same reason: each chunk's unique-pair buffers are budget-sized, and
     retaining every chunk of a large shard would exhaust device memory.
     """
-    import jax as _jax
-
     devices = (
-        list(mesh.devices.flat) if mesh is not None else _jax.local_devices()
+        list(mesh.devices.flat) if mesh is not None else jax.local_devices()
     )
     tokens = np.ascontiguousarray(tokens, dtype=np.int32)
     n_docs = tokens.shape[0]
@@ -353,7 +354,7 @@ def word_word_edges_sharded(
                 exhausted[i] = True
                 continue
             chunk, n_real = nxt
-            out = _pair_count_chunk(_jax.device_put(chunk, dev), window_size)
+            out = _pair_count_chunk(jax.device_put(chunk, dev), window_size)
             in_flight[i].append((out, chunk.shape[0] - n_real))
             if len(in_flight[i]) >= 2:
                 materialized.append(_materialize_counted(in_flight[i].pop(0)))

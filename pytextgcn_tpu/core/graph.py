@@ -120,10 +120,16 @@ class TextGraph:
             arrays["x"] = np.asarray(self.x)
         meta = json.dumps({"n_vocab": self.n_vocab, "n_docs": self.n_docs})
         arrays["meta"] = np.frombuffer(meta.encode(), dtype=np.uint8)
+        # np.savez silently appends '.npz' to extension-less paths; load()
+        # mirrors the same normalization so save(p) -> load(p) always works
         np.savez_compressed(path, **arrays)
 
     @staticmethod
     def load(path: str) -> "TextGraph":
+        import os
+
+        if not os.path.exists(path) and not path.endswith(".npz"):
+            path = path + ".npz"  # np.savez appended it at save time
         with np.load(path) as z:
             meta = json.loads(bytes(z["meta"]).decode())
             return TextGraph(

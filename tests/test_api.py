@@ -96,3 +96,19 @@ def test_results_writer(tmp_path):
     assert lines[0] == "seed,model,hierarchy,f1-macro,accuracy"
     assert len(lines) == 3
     assert os.path.exists(f + ".jsonl")
+
+
+def test_graph_save_load_without_npz_suffix(tmp_path):
+    # np.savez appends '.npz' to extension-less paths; load() must mirror it
+    from pytextgcn_tpu import Text2Graph
+    from pytextgcn_tpu.core.graph import TextGraph
+    from pytextgcn_tpu.data import synthetic_corpus
+
+    docs, labels = synthetic_corpus(n_docs=40, n_classes=2, seed=3)
+    g = Text2Graph(min_df=1, window_size=4).fit_transform(docs, labels)
+    p = str(tmp_path / "artifact")  # no extension
+    g.save(p)
+    g2 = TextGraph.load(p)
+    assert g2.n_nodes == g.n_nodes and g2.n_edges == g.n_edges
+    g3 = Text2Graph.load_graph(p)
+    assert g3.n_vocab == g.n_vocab

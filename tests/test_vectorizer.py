@@ -67,3 +67,33 @@ def test_tokenize_matches_nltk_regexp():
 
 def test_stopword_list_is_nltk_size():
     assert len(NLTK_ENGLISH_STOPWORDS) == 179
+
+
+def test_encode_documents_respects_lowercase_off_fallback():
+    # the encode fallback (docs not the fit-time list object) must honor
+    # lowercase=False — case-sensitive vocabularies were silently mangled
+    from pytextgcn_tpu.build.vectorizer import CountVectorizer
+
+    corpus = ["Foo Foo Bar baz", "Foo qux qux qux"]
+    cv = CountVectorizer(lowercase=False, min_df=1, native=False)
+    cv.fit_transform(corpus)
+    same = cv.encode_documents(corpus)              # cached fast path
+    other = cv.encode_documents(list(corpus))       # content-equal copy
+    np.testing.assert_array_equal(same, other)
+    assert (other >= 0).sum() == 8  # every token is in the vocabulary
+
+
+def test_encode_max_length_zero_agrees_across_backends():
+    # max_length=0 must mean 'truncate to zero tokens' on BOTH paths
+    from pytextgcn_tpu.build.vectorizer import CountVectorizer
+
+    corpus = ["alpha beta gamma", "beta beta delta"]
+    cv_py = CountVectorizer(min_df=1, native=False)
+    cv_py.fit_transform(corpus)
+    assert cv_py.encode_documents(corpus, max_length=0).shape == (2, 0)
+    try:
+        cv_nat = CountVectorizer(min_df=1, native=True)
+        cv_nat.fit_transform(corpus)
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+    assert cv_nat.encode_documents(corpus, max_length=0).shape == (2, 0)
