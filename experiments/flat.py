@@ -20,7 +20,8 @@ import numpy as np
 from common import load_corpus
 from pytextgcn_tpu import Text2Graph
 from pytextgcn_tpu.config import (
-    ExperimentConfig, hybrid_fused_arg, hybrid_k_arg, make_model, parse_config,
+    ExperimentConfig, hybrid_fused_arg, hybrid_k_arg, make_model,
+    parse_config, sharding_args,
 )
 from pytextgcn_tpu.train import Trainer
 from pytextgcn_tpu.train.results import append_result
@@ -57,10 +58,12 @@ def main(argv=None):
     model = make_model(cfg.model, g.in_dim, n_classes)
     trainer = Trainer(
         model, lr=cfg.train.lr, seed=cfg.train.seed,
-        use_pallas=cfg.train.use_pallas, hybrid_k=hybrid_k_arg(cfg.train),
+        use_pallas=cfg.train.use_pallas,
         hybrid_fused=hybrid_fused_arg(cfg.train),
         debug_checks=cfg.train.debug_checks,
         masked_head=cfg.train.masked_head,
+        # --train-sharding off|allgather|halo|hybrid: mesh/halo/hybrid_k
+        **sharding_args(cfg.train, hybrid_k_arg(cfg.train)),
     )
     if cfg.train.batch_size > 0:
         trainer.fit_minibatch(

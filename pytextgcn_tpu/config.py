@@ -62,8 +62,17 @@ class TrainConfig:
     # offending epoch (slow; forces the segment aggregation) — SURVEY §5
     debug_checks: bool = False
     # masked-head training (ops/restricted.py): the final layer aggregates
-    # into the train rows only — exact for GCN (dropout on hidden layers)
+    # into the train rows only — exact for GCN (dropout on hidden layers);
+    # composes with --train-sharding via parallel/restricted_sharded.py
     masked_head: bool = False
+    # multi-chip graph partitioning (parallel/): 'off' = single device;
+    # 'allgather' replicates activations (parallel/sharded.py), 'halo'
+    # keeps them row-sharded with boundary-only exchange (parallel/halo.py),
+    # 'hybrid' adds dense-hot MXU blocks per shard
+    # (parallel/hybrid_sharded.py — implies hybrid_k 'auto' if unset)
+    sharding: str = "off"
+    # mesh size for --train-sharding (0 = all local devices)
+    n_devices: int = 0
     verbose: int = 1
 
 
@@ -172,6 +181,30 @@ def hybrid_k_arg(cfg: TrainConfig):
             f"--train-hybrid-k must be 'off', 'auto', 'auto-tpu', or an "
             f"integer hot-set size, got {v!r}"
         )
+
+
+def sharding_args(cfg: TrainConfig, hybrid_k) -> dict:
+    """TrainConfig.sharding/n_devices -> Trainer kwargs (mesh, halo, and the
+    possibly-overridden hybrid_k). ``hybrid_k``: the already-resolved value
+    from :func:`hybrid_k_arg`. 'hybrid' upgrades a None to 'auto'; 'halo'
+    means the PURE halo path, so it clears hybrid_k (the default 'auto-tpu'
+    would otherwise silently upgrade it to the hybrid-sharded operator)."""
+    v = (cfg.sharding or "off").lower()
+    if v in ("off", "none", ""):
+        return {"hybrid_k": hybrid_k}
+    from .parallel import make_mesh
+
+    mesh = make_mesh(cfg.n_devices or None)
+    if v == "allgather":
+        return {"mesh": mesh, "hybrid_k": None}
+    if v == "halo":
+        return {"mesh": mesh, "halo": True, "hybrid_k": None}
+    if v == "hybrid":
+        return {"mesh": mesh, "halo": True, "hybrid_k": hybrid_k or "auto"}
+    raise SystemExit(
+        f"--train-sharding must be 'off', 'allgather', 'halo', or 'hybrid', "
+        f"got {v!r}"
+    )
 
 
 def hybrid_fused_arg(cfg: TrainConfig):

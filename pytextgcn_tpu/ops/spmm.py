@@ -33,11 +33,17 @@ def spmm_segment(adj: NormAdj, x: jax.Array) -> jax.Array:
 def spmm(adj, x: jax.Array) -> jax.Array:
     from ..parallel.halo import HaloAdj, spmm_halo
     from ..parallel.hybrid_sharded import HybridShardedAdj, spmm_hybrid_sharded
+    from ..parallel.restricted_sharded import (
+        RestrictedShardedAdj,
+        spmm_restricted_sharded,
+    )
     from ..parallel.sharded import ShardedAdj, spmm_sharded
     from .restricted import RestrictedAdj, spmm_restricted
 
     if isinstance(adj, RestrictedAdj):
         return spmm_restricted(adj, x)
+    if isinstance(adj, RestrictedShardedAdj):
+        return spmm_restricted_sharded(adj, x)
     if isinstance(adj, HybridShardedAdj):
         return spmm_hybrid_sharded(adj, x)
     if isinstance(adj, HaloAdj):

@@ -5,6 +5,11 @@ from .hybrid_sharded import (
     spmm_hybrid_sharded,
 )
 from .multihost import global_mesh, host_local_mesh, init_distributed
+from .restricted_sharded import (
+    RestrictedShardedAdj,
+    build_restricted_sharded_adj,
+    spmm_restricted_sharded,
+)
 from .tensor import apply_tp, tp_param_shardings
 from .sharded import (
     ShardedAdj,
@@ -22,6 +27,9 @@ __all__ = [
     "HybridShardedAdj",
     "build_hybrid_sharded_adj",
     "spmm_hybrid_sharded",
+    "RestrictedShardedAdj",
+    "build_restricted_sharded_adj",
+    "spmm_restricted_sharded",
     "ShardedAdj",
     "build_sharded_adj",
     "make_mesh",

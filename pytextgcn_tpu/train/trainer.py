@@ -80,7 +80,9 @@ class Trainer:
         # train-incident edge subset. Exact for models whose dropout sits on
         # hidden layers (GCN); EGCN's logit dropout draws a differently-
         # shaped mask, so its trajectory is statistically equivalent rather
-        # than bit-equal. Single-device paths only (mesh=None).
+        # than bit-equal. With a mesh the head rides the sharded restricted
+        # operator (parallel/restricted_sharded.py): full [N, H] row-sharded
+        # output, zero at non-train rows, so labels/masks stay unsliced.
         self.masked_head = masked_head
         self.step_cache = step_cache
         self.params = None
@@ -241,14 +243,24 @@ class Trainer:
             and getattr(self, "_adj_out_mask", None) is g.train_mask
         )
         if not cached:
-            from ..ops.restricted import build_restricted_adj
-
             hk = self.hybrid_k
-            self._adj_out = build_restricted_adj(
-                g, rows,
-                use_pallas=self.use_pallas or hk is not None,
-                hot_k="auto" if hk is not None else None,
-            )
+            if self.mesh is not None:
+                from ..parallel.restricted_sharded import (
+                    build_restricted_sharded_adj,
+                )
+
+                self._adj_out = build_restricted_sharded_adj(
+                    g, rows, self.mesh,
+                    hot_k="auto" if hk is not None else None,
+                )
+            else:
+                from ..ops.restricted import build_restricted_adj
+
+                self._adj_out = build_restricted_adj(
+                    g, rows,
+                    use_pallas=self.use_pallas or hk is not None,
+                    hot_k="auto" if hk is not None else None,
+                )
             self._adj_out_edge_src = g.edge_src
             self._adj_out_mask = g.train_mask
         return self._adj_out
@@ -308,13 +320,20 @@ class Trainer:
         train_mask = jnp.asarray(g.train_mask)
         val_mask = jnp.asarray(g.val_mask)
         adj_out = None
-        if self.masked_head and self.mesh is None:
-            # head restricted to the train rows; labels/mask pre-sliced so
-            # the masked-CE sees exactly the same terms as the full step
+        if self.masked_head:
             rows = np.flatnonzero(np.asarray(g.train_mask))
             adj_out = self._prepare_restricted(g, rows)
-            y_step = jnp.asarray(np.asarray(g.y)[rows])
-            mask_step = jnp.ones(len(rows), bool)
+            if self.mesh is None:
+                # head restricted to the train rows; labels/mask pre-sliced
+                # so the masked-CE sees exactly the same terms as the full
+                # step ([M, C] logits)
+                y_step = jnp.asarray(np.asarray(g.y)[rows])
+                mask_step = jnp.ones(len(rows), bool)
+            else:
+                # sharded restricted head keeps the full [N, C] row-sharded
+                # logit shape (zero at non-train rows) — the mask already
+                # reads exactly the computed rows
+                y_step, mask_step = y, train_mask
             step = lambda p, s, k, e: train_step(
                 p, s, k, e, adj, feats, y_step, mask_step, adj_out
             )
