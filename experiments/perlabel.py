@@ -88,6 +88,11 @@ def main(argv=None):
             trainers.append(trainer)
         out = {"trainers": trainers, "mapping": mapping}
     else:
+        ep_mesh = None
+        if cfg.train.ep:
+            from pytextgcn_tpu.parallel import make_mesh
+
+            ep_mesh = make_mesh(cfg.train.n_devices or None, axis="ensemble")
         out = train_per_label(
             g,
             y_child,
@@ -98,6 +103,7 @@ def main(argv=None):
             seed=cfg.train.seed,
             verbose=cfg.train.verbose,
             save_dir=cfg.save_model,
+            mesh=ep_mesh,
             trainer_kwargs={"use_pallas": cfg.train.use_pallas,
                             "hybrid_k": hybrid_k_arg(cfg.train),
                             "hybrid_fused": hybrid_fused_arg(cfg.train)},

@@ -73,6 +73,12 @@ class TrainConfig:
     sharding: str = "off"
     # mesh size for --train-sharding (0 = all local devices)
     n_devices: int = 0
+    # expert-parallel per-label ensemble (hierarchy/perlabel.py): train all
+    # members in ONE vmapped jitted step, parameters sharded over an
+    # 'ensemble' mesh of n_devices (a 1-device mesh still pays one compile
+    # for the whole ensemble instead of one per member, and batches every
+    # member's dense work into single MXU calls)
+    ep: bool = False
     verbose: int = 1
 
 

@@ -202,16 +202,11 @@ def _train_per_label_ep(
     # honor a caller-supplied update rule (it stays in trainer_kwargs too,
     # so the returned Trainers refit with the same rule they trained under)
     optimizer = trainer_kwargs.get("optimizer")
-    if trainer_kwargs.get("hybrid_k") is not None:
-        import warnings
-
-        # the vmapped EP step has not been validated through the batched
-        # hybrid/Pallas dispatch; members train on the segment/Pallas path
-        warnings.warn(
-            "train_per_label(mesh=...): hybrid_k is ignored inside the "
-            "vmapped EP step (applies to the returned Trainers only)",
-            stacklevel=2,
-        )
+    # the hybrid decomposition composes with the vmapped EP step: the dense
+    # hot products batch into one dot_general per layer across all members,
+    # and the cold residual rides the (vmappable) segment path
+    hybrid_k = trainer_kwargs.get("hybrid_k")
+    pallas_dtype = trainer_kwargs.get("pallas_dtype", "float32")
     y_child = np.asarray(y_child, np.int64)
     y_parent = np.asarray(y_parent, np.int64)
     n_parents = int(y_parent.max()) + 1
@@ -246,7 +241,18 @@ def _train_per_label_ep(
 
     # the aggregation itself is replicated (each expert owns its own SpMM);
     # the EP axis shards *models*, not the graph — SURVEY.md §2.4 EP row
-    adj = NormAdj.from_graph(g, use_pallas=use_pallas)
+    adj = NormAdj.from_graph(
+        g, use_pallas=use_pallas, hybrid_k=hybrid_k,
+        pallas_dtype=pallas_dtype, hybrid_resid="segment",
+    )
+    if adj.plan is not None and not use_pallas:
+        from ..ops.hybrid import HybridPlan
+
+        if not isinstance(adj.plan, HybridPlan):
+            # hybrid_k='auto' declined the hot set and from_graph fell back
+            # to a pure Pallas plan; the vmapped step prefers the segment
+            # path there (the batched tile kernel buys nothing per member)
+            adj = dataclasses.replace(adj, plan=None)
     feats = NodeFeatures.from_graph(g)
     model_pad = models[int(np.argmax(c_list))]  # apply() reads shapes from params
 

@@ -50,13 +50,16 @@ class NormAdj:
         pallas_dtype: str = "float32",
         hybrid_k=None,
         hybrid_fused: Optional[bool] = None,
+        hybrid_resid: str = "pallas",
     ) -> "NormAdj":
         """``hybrid_k``: enable the dense-hot/sparse-cold decomposition
         (ops/hybrid.py) with a hot set of that size ('auto' = cost-model
         choice, may fall back to the requested pure path). Implies the
         Pallas kernel for the cold residual. ``hybrid_fused``: force the
         one-pass-over-D fused dual kernel on/off (None = backend default,
-        see ops/hybrid.build_hybrid_plan)."""
+        see ops/hybrid.build_hybrid_plan). ``hybrid_resid``: 'pallas' |
+        'segment' | 'auto' — how the cold-cold residual executes (segment
+        is vmappable; the EP ensemble step uses it)."""
         # normalization on host (numpy): one-time preprocessing; keeps all
         # device work inside jitted hot paths
         src = np.asarray(g.edge_src)
@@ -71,6 +74,7 @@ class NormAdj:
             plan = build_hybrid_plan(
                 src, dst, norm_w, g.n_nodes, hot_k=hybrid_k,
                 compute_dtype=pallas_dtype, fused=hybrid_fused,
+                resid_mode=hybrid_resid,
             )
         if plan is None and (use_pallas or hybrid_k is not None):
             from .spmm_pallas import build_plan_from_arrays

@@ -64,7 +64,8 @@ _GATHER_NS = 2.34
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["hot_ids", "d_full", "a_hh", "res_fwd", "res_bwd"],
+    data_fields=["hot_ids", "d_full", "a_hh", "res_fwd", "res_bwd",
+                 "seg_src", "seg_dst", "seg_w"],
     meta_fields=["n_nodes", "k", "compute_dtype", "fused", "predicted_spmm_ns",
                  "floor_spmm_ns"],
 )
@@ -78,7 +79,11 @@ class HybridPlan:
              block multiple (built padded — never copied after the fact).
     a_hh:    [K, K] hot-hot block (= d_full[hot_ids]).
     res_fwd/res_bwd: Pallas tile plans over the cold-cold residual edges
-             (None when the residual is empty).
+             (None when the residual is empty or rides the segment path).
+    seg_src/seg_dst/seg_w: the residual as raw COO for the XLA segment path
+             (``resid_mode='segment'`` — cheaper than the tile kernel's
+             block padding for small residuals, and vmappable, which the
+             expert-parallel ensemble step relies on).
     fused:   route the two D products through the one-pass-over-D Pallas
              kernel (ops/fused_dual.py) instead of two XLA matmuls.
     """
@@ -88,6 +93,9 @@ class HybridPlan:
     a_hh: jax.Array
     res_fwd: Optional[object]
     res_bwd: Optional[object]
+    seg_src: Optional[jax.Array]
+    seg_dst: Optional[jax.Array]
+    seg_w: Optional[jax.Array]
     n_nodes: int
     k: int
     compute_dtype: str = "float32"
@@ -209,6 +217,7 @@ def build_hybrid_plan(
     h_hint: int = 128,
     validate: bool = True,
     fused: Optional[bool] = None,
+    resid_mode: str = "pallas",
 ) -> Optional[HybridPlan]:
     """Host-side construction. ``hot_k``: int (0 = disabled), or 'auto' to
     pick by cost model (returns None if the model says pure-Pallas wins).
@@ -216,7 +225,11 @@ def build_hybrid_plan(
     for timing probes where the numeric result is discarded. ``fused``:
     compute both D products in one pass over D (ops/fused_dual.py);
     default = compiled TPU backends only (the interpreter is far slower
-    than XLA dots on CPU)."""
+    than XLA dots on CPU). ``resid_mode``: 'pallas' | 'segment' | 'auto' —
+    how the cold-cold residual executes; 'segment' (raw COO through
+    jax.ops.segment_sum) beats the tile kernel's block padding for small
+    residuals and is vmappable (the EP ensemble step requires it); 'auto'
+    picks by modeled cost."""
     from .spmm_pallas import _build_tile_plan
 
     src = np.asarray(src, np.int64)
@@ -301,13 +314,28 @@ def build_hybrid_plan(
 
     rsel = ~src_hot & ~dst_hot
     res_fwd = res_bwd = None
-    if rsel.any():
-        res_fwd = _build_tile_plan(src[rsel], dst[rsel], w[rsel], n_nodes)
-        res_bwd = _build_tile_plan(dst[rsel], src[rsel], w[rsel], n_nodes)
-
+    seg_src = seg_dst = seg_w = None
     n_resid = int(rsel.sum())
+    resid_slots = n_resid * _PAD_FACTOR
+    if n_resid:
+        if resid_mode == "auto":
+            # same trade the restricted head models (ops/restricted.py):
+            # the segment path costs ~4x the raw gather issue rate per edge
+            # once the scatter half and launch overheads are in
+            use_tiles = resid_slots * _EDGE_NS < n_resid * 4 * _GATHER_NS
+        else:
+            use_tiles = resid_mode != "segment"
+        if use_tiles:
+            res_fwd = _build_tile_plan(src[rsel], dst[rsel], w[rsel], n_nodes)
+            res_bwd = _build_tile_plan(dst[rsel], src[rsel], w[rsel], n_nodes)
+        else:
+            seg_src = jnp.asarray(src[rsel], jnp.int32)
+            seg_dst = jnp.asarray(dst[rsel], jnp.int32)
+            seg_w = jnp.asarray(w[rsel], jnp.float32)
+            resid_slots = n_resid * 4 * _GATHER_NS / _EDGE_NS  # same ns units
+
     predicted_ns = _predict_cost_ns(
-        n_nodes, len(src), n_resid * _PAD_FACTOR, k, h_hint,
+        n_nodes, len(src), resid_slots, k, h_hint,
         itemsize, d_reads=1 if fused else 2,
     )
     floor_ns = (
@@ -321,6 +349,9 @@ def build_hybrid_plan(
         a_hh=a_hh,
         res_fwd=res_fwd,
         res_bwd=res_bwd,
+        seg_src=seg_src,
+        seg_dst=seg_dst,
+        seg_w=seg_w,
         n_nodes=n_nodes,
         k=k,
         compute_dtype=compute_dtype,
@@ -381,4 +412,9 @@ def spmm_hybrid(plan: HybridPlan, x: jax.Array) -> jax.Array:
         from .spmm_pallas import _spmm_pallas
 
         out = out + _spmm_pallas(x, plan.res_fwd, plan.res_bwd, cd.type)
+    if plan.seg_src is not None:
+        contrib = plan.seg_w[:, None] * jnp.take(x, plan.seg_src, axis=0)
+        out = out + jax.ops.segment_sum(
+            contrib, plan.seg_dst, num_segments=plan.n_nodes
+        )
     return out

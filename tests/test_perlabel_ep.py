@@ -121,3 +121,28 @@ def test_ep_trainers_can_refit(ragged_corpus):
     g_local = dataclasses.replace(g, y=y_local)
     hist = t.fit(g_local, epochs=3, n_classes=c0)
     assert len(hist) == 3
+
+
+def test_ep_hybrid_matches_sequential(ragged_corpus):
+    # hybrid_k in trainer_kwargs now applies INSIDE the vmapped EP step
+    # (dense hot products batched across members, segment-path residual);
+    # the trajectory must match the sequential hybrid run
+    g, child, parent = ragged_corpus
+    tk = {"hybrid_k": 64}
+    seq = train_per_label(g, child, parent, _mk, epochs=20, seed=5,
+                          trainer_kwargs=dict(tk))
+    mesh = make_mesh(2, axis="ensemble")
+    ep = train_per_label(g, child, parent, _mk, epochs=20, seed=5, mesh=mesh,
+                         trainer_kwargs=dict(tk))
+    assert ep["mapping"] == seq["mapping"]
+    for ts, te in zip(seq["trainers"], ep["trainers"]):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ts.params),
+            jax.tree_util.tree_leaves(te.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+            )
+    m_seq = eval_per_label(g, child, parent, seq["trainers"], seq["mapping"])
+    m_ep = eval_per_label(g, child, parent, ep["trainers"], ep["mapping"])
+    assert m_seq["accuracy"] == pytest.approx(m_ep["accuracy"], abs=1e-6)

@@ -306,3 +306,46 @@ def test_hybrid_k_zero_means_segment_path():
     assert adj.plan is None
     adj_p = NormAdj.from_graph(g, use_pallas=True, hybrid_k=0)
     assert adj_p.plan is not None and not isinstance(adj_p.plan, HybridPlan)
+
+
+@pytest.mark.parametrize("mode", ["segment", "auto"])
+def test_hybrid_segment_residual_matches(mode):
+    # resid_mode='segment' routes the cold-cold residual through
+    # jax.ops.segment_sum instead of the tile kernel — same numbers,
+    # forward and backward (the EP ensemble step trains on this form)
+    g = _rand_graph(seed=51)
+    adj_ref = NormAdj.from_graph(g)
+    adj_s = NormAdj.from_graph(g, hybrid_k=128, hybrid_resid=mode)
+    plan = adj_s.plan
+    assert isinstance(plan, HybridPlan)
+    if mode == "segment":
+        assert plan.res_fwd is None and plan.seg_src is not None
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((g.n_nodes, 16)), jnp.float32
+    )
+    ref = spmm_segment(adj_ref, x)
+    got = jax.jit(spmm)(adj_s, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    cot = jnp.asarray(
+        np.random.default_rng(4).standard_normal((g.n_nodes, 16)), jnp.float32
+    )
+    g_ref = jax.grad(lambda v: jnp.sum(spmm_segment(adj_ref, v) * cot))(x)
+    g_got = jax.grad(lambda v: jnp.sum(spmm(adj_s, v) * cot))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_got), np.asarray(g_ref), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_hybrid_segment_residual_vmaps():
+    # the segment-residual hybrid must compose with jax.vmap (the vmapped
+    # EP train step maps it over ensemble members)
+    g = _rand_graph(seed=61)
+    adj_ref = NormAdj.from_graph(g)
+    adj_s = NormAdj.from_graph(g, hybrid_k=128, hybrid_resid="segment")
+    xs = jnp.asarray(
+        np.random.default_rng(5).standard_normal((3, g.n_nodes, 8)), jnp.float32
+    )
+    ref = jax.vmap(lambda x: spmm_segment(adj_ref, x))(xs)
+    got = jax.jit(jax.vmap(lambda x: spmm(adj_s, x)))(xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
