@@ -145,7 +145,10 @@ def bench_scale(g, variants):
             if masked:
                 from pytextgcn_tpu.ops.restricted import build_restricted_adj
 
-                adj_out = build_restricted_adj(g, rows, hot_k="auto")
+                adj_out = build_restricted_adj(
+                    g, rows, hot_k="auto",
+                    compute_dtype=kwargs.get("pallas_dtype", "float32"),
+                )
         except Exception as e:
             log(f"  {name}: adjacency build failed ({type(e).__name__}: {e})")
             continue
@@ -194,6 +197,8 @@ def main():
             ("hybrid f32", dict(hybrid_k="auto")),
             ("hybrid f32 masked-head", dict(hybrid_k="auto", masked_head=True)),
             ("hybrid bf16", dict(hybrid_k="auto", pallas_dtype="bfloat16")),
+            ("hybrid bf16 masked-head",
+             dict(hybrid_k="auto", pallas_dtype="bfloat16", masked_head=True)),
         ]
         if n_docs != scales[0]:
             variants = [v for v in variants if v[0] != "pallas f32"]
