@@ -125,10 +125,15 @@ def run_hierarchy(args, p, g, level_labels, n_train, n_val, n_classes):
             else:
                 y_child = np.asarray(level_labels[-1])
                 y_parent = np.asarray(level_labels[-2])
+                mesh = None
+                if getattr(args, "ep", False):
+                    from pytextgcn_tpu.parallel import make_mesh
+
+                    mesh = make_mesh(axis="ensemble")
                 ens = train_per_label(
                     gs, y_child, y_parent, model_factory,
                     lr=p["lr"], epochs=p["epochs"], seed=seed,
-                    verbose=args.verbose, trainer_kwargs=tkw,
+                    verbose=args.verbose, trainer_kwargs=tkw, mesh=mesh,
                 )
                 # ground-truth routing is the reference quirk (eval_perlabel.py:73)
                 m = eval_per_label(
@@ -219,6 +224,13 @@ def main(argv=None):
         "train_torch_perlabel in torch_reference.py)",
     )
     ap.add_argument("--out", default="docs/protocol_results.csv")
+    ap.add_argument(
+        "--ep", action="store_true",
+        help="perlabel only: train the ensemble expert-parallel — one vmapped "
+        "jitted step for all members over a 1D device mesh (one compile "
+        "instead of one per parent class; SURVEY.md §2.4 EP row). Same "
+        "parameter trajectory as sequential (tests/test_perlabel_ep.py).",
+    )
     ap.add_argument("--use-pallas", action="store_true")
     ap.add_argument("--hybrid-k", default="off",
                     help="'off' | 'auto' | int — SpMM decomposition for the JAX side")
