@@ -60,6 +60,7 @@ def main(argv=None):
         model, lr=cfg.train.lr, seed=cfg.train.seed,
         use_pallas=cfg.train.use_pallas,
         hybrid_fused=hybrid_fused_arg(cfg.train),
+        pallas_dtype=cfg.train.pallas_dtype,
         debug_checks=cfg.train.debug_checks,
         masked_head=cfg.train.masked_head,
         # --train-sharding off|allgather|halo|hybrid: mesh/halo/hybrid_k

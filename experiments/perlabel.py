@@ -106,7 +106,8 @@ def main(argv=None):
             mesh=ep_mesh,
             trainer_kwargs={"use_pallas": cfg.train.use_pallas,
                             "hybrid_k": hybrid_k_arg(cfg.train),
-                            "hybrid_fused": hybrid_fused_arg(cfg.train)},
+                            "hybrid_fused": hybrid_fused_arg(cfg.train),
+                            "pallas_dtype": cfg.train.pallas_dtype},
         )
 
     parent_pred = None

@@ -62,7 +62,8 @@ def main(argv=None):
         verbose=cfg.train.verbose,
         trainer_kwargs={"use_pallas": cfg.train.use_pallas,
                         "hybrid_k": hybrid_k_arg(cfg.train),
-                        "hybrid_fused": hybrid_fused_arg(cfg.train)},
+                        "hybrid_fused": hybrid_fused_arg(cfg.train),
+                        "pallas_dtype": cfg.train.pallas_dtype},
     )
     m = res["metrics"]
     print(f"Test Accuracy: {m['accuracy']: .4f}")

@@ -108,7 +108,8 @@ def run_hierarchy(args, p, g, level_labels, n_train, n_val, n_classes):
     hk = None if args.hybrid_k in ("off", "none") else (
         "auto" if args.hybrid_k == "auto" else int(args.hybrid_k)
     )
-    tkw = {"use_pallas": args.use_pallas, "hybrid_k": hk}
+    tkw = {"use_pallas": args.use_pallas, "hybrid_k": hk,
+           "pallas_dtype": args.pallas_dtype}
     hier_name = "per-level" if args.hierarchy == "perlevel" else "per-label"
     rows = []
     for seed in args.seeds:
@@ -234,6 +235,12 @@ def main(argv=None):
     ap.add_argument("--use-pallas", action="store_true")
     ap.add_argument("--hybrid-k", default="off",
                     help="'off' | 'auto' | int — SpMM decomposition for the JAX side")
+    ap.add_argument(
+        "--pallas-dtype", choices=["float32", "bfloat16"], default="float32",
+        help="compute dtype of the hybrid/Pallas aggregation (bfloat16 is "
+        "~2x faster on chip — this flag exists to validate its accuracy at "
+        "protocol scale; params/optimizer stay f32)",
+    )
     ap.add_argument("--verbose", type=int, default=1)
     args = ap.parse_args(argv)
 
@@ -258,7 +265,7 @@ def main(argv=None):
                 "auto" if args.hybrid_k == "auto" else int(args.hybrid_k)
             )
             tr = Trainer(model, lr=p["lr"], seed=seed, use_pallas=args.use_pallas,
-                         hybrid_k=hk)
+                         hybrid_k=hk, pallas_dtype=args.pallas_dtype)
             t0 = time.time()
             tr.fit(gs, epochs=p["epochs"], n_classes=n_classes,
                    verbose=args.verbose, eval_every=max(1, p["epochs"] // 10))

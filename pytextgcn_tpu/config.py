@@ -54,6 +54,10 @@ class TrainConfig:
     # one-pass-over-D fused dual kernel for the hybrid's dense half
     # (ops/fused_dual.py): 'auto' = backend default, 'on'/'off' = force
     hybrid_fused: str = "auto"
+    # compute dtype of the hybrid/Pallas aggregation: 'float32' (parity-
+    # exact) or 'bfloat16' (~2x faster on chip; params/optimizer/loss stay
+    # f32 — protocol-scale accuracy validation in RESULTS.md)
+    pallas_dtype: str = "float32"
     eval_every: int = 1
     # 0 = full-batch (the reference protocol); >0 trains on n-hop
     # neighborhood mini-batches of that many documents (Trainer.fit_minibatch)

@@ -36,6 +36,7 @@ class Trainer:
         step_cache: Optional[dict] = None,
         hybrid_k=None,
         hybrid_fused: Optional[bool] = None,
+        pallas_dtype: str = "float32",
         halo: bool = False,
         tp_mesh=None,
         debug_checks: bool = False,
@@ -59,6 +60,9 @@ class Trainer:
         self.use_pallas = use_pallas
         self.hybrid_k = hybrid_k  # dense-hot SpMM decomposition (ops/hybrid.py)
         self.hybrid_fused = hybrid_fused  # one-pass-over-D kernel (None = backend default)
+        # compute dtype of the hybrid/Pallas aggregation ('bfloat16' is ~2x
+        # faster on chip; params/optimizer/loss stay f32 — see RESULTS.md)
+        self.pallas_dtype = pallas_dtype
         self.halo = halo  # with mesh: boundary-only exchange, sharded activations
         self.mesh = mesh
         # tensor parallelism (parallel/tensor.py): shard the wide EGCN
@@ -191,18 +195,24 @@ class Trainer:
                     # cold residual through the halo exchange (None when the
                     # cost model says the graph has no exploitable hot set)
                     self._adj = build_hybrid_sharded_adj(
-                        g, self.mesh, hot_k=self.hybrid_k, fused=self.hybrid_fused
+                        g, self.mesh, hot_k=self.hybrid_k,
+                        fused=self.hybrid_fused,
+                        compute_dtype=self.pallas_dtype,
                     )
                 if self._adj is None:
                     self._adj = build_halo_adj(g, self.mesh)
             elif self.mesh is not None:
                 from ..parallel.sharded import build_sharded_adj
 
-                self._adj = build_sharded_adj(g, self.mesh, use_pallas=self.use_pallas)
+                self._adj = build_sharded_adj(
+                    g, self.mesh, use_pallas=self.use_pallas,
+                    pallas_dtype=self.pallas_dtype,
+                )
             else:
                 self._adj = NormAdj.from_graph(
                     g, use_pallas=self.use_pallas, hybrid_k=self.hybrid_k,
                     hybrid_fused=self.hybrid_fused,
+                    pallas_dtype=self.pallas_dtype,
                 )
             self._adj_edge_src = g.edge_src
             self._adj_edge_w = g.edge_w
@@ -224,9 +234,9 @@ class Trainer:
             return
         if (
             (self.use_pallas, self.hybrid_k, self.hybrid_fused, self.halo,
-             self.mesh) !=
+             self.pallas_dtype, self.mesh) !=
             (other.use_pallas, other.hybrid_k, other.hybrid_fused, other.halo,
-             other.mesh)
+             other.pallas_dtype, other.mesh)
         ):
             return
         self._adj = other._adj
@@ -252,6 +262,7 @@ class Trainer:
                 self._adj_out = build_restricted_sharded_adj(
                     g, rows, self.mesh,
                     hot_k="auto" if hk is not None else None,
+                    compute_dtype=self.pallas_dtype,
                 )
             else:
                 from ..ops.restricted import build_restricted_adj
@@ -260,6 +271,7 @@ class Trainer:
                     g, rows,
                     use_pallas=self.use_pallas or hk is not None,
                     hot_k="auto" if hk is not None else None,
+                    compute_dtype=self.pallas_dtype,
                 )
             self._adj_out_edge_src = g.edge_src
             self._adj_out_mask = g.train_mask

@@ -92,3 +92,20 @@ def test_graph_save_load_roundtrip(tmp_path, corpus_graph):
     assert g2.n_vocab == g.n_vocab and g2.n_docs == g.n_docs
     np.testing.assert_array_equal(np.asarray(g2.edge_src), np.asarray(g.edge_src))
     np.testing.assert_allclose(np.asarray(g2.edge_w), np.asarray(g.edge_w))
+
+
+def test_trainer_pallas_dtype_bf16(corpus_graph):
+    """Trainer(pallas_dtype='bfloat16') threads the compute dtype into the
+    aggregation plan (the 2x-on-chip mode, RESULTS.md) and still learns."""
+    from pytextgcn_tpu.ops.hybrid import HybridPlan
+
+    _, g, labels, _ = corpus_graph
+    model = GCN(in_dim=g.in_dim, out_dim=4, n_hidden_gcn=32, dropout=0.3)
+    trainer = Trainer(model, lr=0.05, seed=0, hybrid_k=16,
+                      pallas_dtype="bfloat16")
+    hist = trainer.fit(g, epochs=80, n_classes=4)
+    adj, _ = trainer.prepare(g)
+    assert isinstance(adj.plan, HybridPlan) and adj.plan.compute_dtype == "bfloat16"
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    m = trainer.evaluate(g, n_classes=4)
+    assert m["accuracy"] >= 0.8, m
