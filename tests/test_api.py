@@ -112,3 +112,38 @@ def test_graph_save_load_without_npz_suffix(tmp_path):
     assert g2.n_nodes == g.n_nodes and g2.n_edges == g.n_edges
     g3 = Text2Graph.load_graph(p)
     assert g3.n_vocab == g.n_vocab
+
+
+def test_sharding_args_mapping():
+    """--train-sharding -> Trainer kwargs (config.sharding_args): each mode
+    maps to the right mesh/halo/hybrid_k combination; 'halo' clears
+    hybrid_k so the default 'auto-tpu' never silently upgrades the pure
+    halo path to the hybrid-sharded operator."""
+    import dataclasses
+
+    from pytextgcn_tpu.config import TrainConfig, sharding_args
+
+    cfg = TrainConfig()
+
+    off = sharding_args(dataclasses.replace(cfg, sharding="off"), "auto")
+    assert off == {"hybrid_k": "auto"}
+
+    ag = sharding_args(dataclasses.replace(cfg, sharding="allgather"), "auto")
+    assert ag["hybrid_k"] is None and "halo" not in ag
+    assert ag["mesh"].devices.size >= 1
+
+    halo = sharding_args(dataclasses.replace(cfg, sharding="halo"), "auto")
+    assert halo["halo"] is True and halo["hybrid_k"] is None
+
+    hy = sharding_args(dataclasses.replace(cfg, sharding="hybrid"), None)
+    assert hy["halo"] is True and hy["hybrid_k"] == "auto"
+    hy2 = sharding_args(dataclasses.replace(cfg, sharding="hybrid"), 512)
+    assert hy2["hybrid_k"] == 512
+
+    n1 = sharding_args(
+        dataclasses.replace(cfg, sharding="halo", n_devices=1), None
+    )
+    assert n1["mesh"].devices.size == 1
+
+    with pytest.raises(SystemExit):
+        sharding_args(dataclasses.replace(cfg, sharding="bogus"), None)
