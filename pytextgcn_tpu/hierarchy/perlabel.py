@@ -244,6 +244,10 @@ def _train_per_label_ep(
     adj = NormAdj.from_graph(
         g, use_pallas=use_pallas, hybrid_k=hybrid_k,
         pallas_dtype=pallas_dtype, hybrid_resid="segment",
+        # all members apply the same adjacency in one vmapped step: the
+        # batched dense half streams D once for the whole ensemble, so the
+        # auto cost model should trade residual edges for a larger hot set
+        hybrid_batch=n_parents,
     )
     if adj.plan is not None and not use_pallas:
         from ..ops.hybrid import HybridPlan

@@ -51,6 +51,7 @@ class NormAdj:
         hybrid_k=None,
         hybrid_fused: Optional[bool] = None,
         hybrid_resid: str = "pallas",
+        hybrid_batch: int = 1,
     ) -> "NormAdj":
         """``hybrid_k``: enable the dense-hot/sparse-cold decomposition
         (ops/hybrid.py) with a hot set of that size ('auto' = cost-model
@@ -59,7 +60,9 @@ class NormAdj:
         one-pass-over-D fused dual kernel on/off (None = backend default,
         see ops/hybrid.build_hybrid_plan). ``hybrid_resid``: 'pallas' |
         'segment' | 'auto' — how the cold-cold residual executes (segment
-        is vmappable; the EP ensemble step uses it)."""
+        is vmappable; the EP ensemble step uses it). ``hybrid_batch``:
+        models applying this operator per step (EP ensembles) — biases
+        the auto-K choice toward larger hot sets."""
         # normalization on host (numpy): one-time preprocessing; keeps all
         # device work inside jitted hot paths
         src = np.asarray(g.edge_src)
@@ -74,7 +77,7 @@ class NormAdj:
             plan = build_hybrid_plan(
                 src, dst, norm_w, g.n_nodes, hot_k=hybrid_k,
                 compute_dtype=pallas_dtype, fused=hybrid_fused,
-                resid_mode=hybrid_resid,
+                resid_mode=hybrid_resid, batch=hybrid_batch,
             )
         if plan is None and (use_pallas or hybrid_k is not None):
             from .spmm_pallas import build_plan_from_arrays

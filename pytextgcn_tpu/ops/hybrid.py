@@ -109,17 +109,21 @@ class HybridPlan:
 
 
 def _predict_cost_ns(n_nodes: int, n_edges: int, resid_edges: int, k: int, h: int,
-                     itemsize: int, d_reads: int = 2) -> float:
+                     itemsize: int, d_reads: int = 2, batch: int = 1) -> float:
     """Rough per-SpMM cost of a K-hot decomposition (see module docstring).
     ``d_reads``: how many times the [N, K] block D streams from HBM per
     application — 2 with separate XLA matmuls, 1 under the fused dual
-    kernel (ops/fused_dual.py)."""
+    kernel (ops/fused_dual.py). ``batch``: how many models apply the SAME
+    adjacency per step (the vmapped EP ensemble, hierarchy/perlabel.py) —
+    the batched dense contraction streams D once for all of them (bytes
+    unchanged, FLOPs xB) while the residual pays per member, so the
+    optimum K grows with the ensemble."""
     dense_bytes = (d_reads * n_nodes * k + k * k) * itemsize
-    dense_flops = 2 * (2 * n_nodes * k + k * k) * h
+    dense_flops = 2 * (2 * n_nodes * k + k * k) * h * batch
     mxu = _MXU_F32_HIGHEST if itemsize == 4 else _MXU_BF16_FACTOR * _MXU_F32_HIGHEST
     # memory traffic and MXU time overlap on TPU; the slower one dominates
     dense_ns = max(dense_bytes / _HBM_BPS, dense_flops / mxu) * 1e9
-    return dense_ns + resid_edges * _EDGE_NS
+    return dense_ns + resid_edges * _EDGE_NS * batch
 
 
 _PAD_FACTOR = 1.6  # measured tile-plan slot inflation over raw edge counts
@@ -127,14 +131,19 @@ _PAD_FACTOR = 1.6  # measured tile-plan slot inflation over raw edge counts
 
 def choose_hot_k(src, n_nodes: int, h: int = 128, itemsize: int = 4,
                  candidates=(0, 512, 1024, 2048, 4096, 8192),
-                 dst=None, d_reads: int = 2) -> int:
+                 dst=None, d_reads: int = 2, batch: int = 1,
+                 segment_resid: bool = False) -> int:
     """Pick K minimizing the modeled SpMM cost (0 = hybrid not worth it).
 
     With ``dst`` given, the cold-cold residual is counted exactly per
     candidate (one vectorized pass each); without it, an independence
     estimate from the src-degree coverage is used. ``d_reads``: per-
     application HBM reads of D (1 when the fused dual kernel is on) —
-    cheaper dense halves shift the optimum toward larger K.
+    cheaper dense halves shift the optimum toward larger K, as does
+    ``batch`` > 1 (vmapped EP ensembles share the D stream but pay the
+    residual per member). ``segment_resid``: cost the residual at the
+    segment path's measured per-edge rate instead of the tile kernel's
+    padded-slot rate (resid_mode='segment', the vmappable EP form).
     """
     src = np.asarray(src)
     deg = np.bincount(src, minlength=n_nodes)
@@ -145,7 +154,10 @@ def choose_hot_k(src, n_nodes: int, h: int = 128, itemsize: int = 4,
     r_src = rank[src]
     r_dst = rank[np.asarray(dst)] if dst is not None else None
     cum = np.concatenate([[0], np.cumsum(deg[order])])
-    best_k, best_t = 0, e * _PAD_FACTOR * _EDGE_NS
+    # per-edge residual cost in _EDGE_NS units (matches build_hybrid_plan's
+    # resid_slots conversion for each mode)
+    slot_factor = (4 * _GATHER_NS / _EDGE_NS) if segment_resid else _PAD_FACTOR
+    best_k, best_t = 0, e * slot_factor * _EDGE_NS * batch
     for k in candidates:
         if k == 0 or k >= n_nodes:
             continue
@@ -156,8 +168,8 @@ def choose_hot_k(src, n_nodes: int, h: int = 128, itemsize: int = 4,
         else:
             cov = cum[k] / max(e, 1)
             resid = e * max(1.0 - cov, 0.0) ** 2
-        t = _predict_cost_ns(n_nodes, e, resid * _PAD_FACTOR, k, h, itemsize,
-                             d_reads=d_reads)
+        t = _predict_cost_ns(n_nodes, e, resid * slot_factor, k, h, itemsize,
+                             d_reads=d_reads, batch=batch)
         if t < best_t:
             best_k, best_t = k, t
     return best_k
@@ -218,6 +230,7 @@ def build_hybrid_plan(
     validate: bool = True,
     fused: Optional[bool] = None,
     resid_mode: str = "pallas",
+    batch: int = 1,
 ) -> Optional[HybridPlan]:
     """Host-side construction. ``hot_k``: int (0 = disabled), or 'auto' to
     pick by cost model (returns None if the model says pure-Pallas wins).
@@ -229,7 +242,10 @@ def build_hybrid_plan(
     how the cold-cold residual executes; 'segment' (raw COO through
     jax.ops.segment_sum) beats the tile kernel's block padding for small
     residuals and is vmappable (the EP ensemble step requires it); 'auto'
-    picks by modeled cost."""
+    picks by modeled cost. ``batch``: number of models applying this plan
+    per step (vmapped EP ensembles) — biases the auto-K choice toward
+    larger hot sets, since the batched dense half streams D once for all
+    members while the residual pays per member."""
     from .spmm_pallas import _build_tile_plan
 
     src = np.asarray(src, np.int64)
@@ -249,7 +265,8 @@ def build_hybrid_plan(
     auto = hot_k == "auto"
     if auto:
         hot_k = choose_hot_k(src, n_nodes, h=h_hint, itemsize=itemsize, dst=dst,
-                             d_reads=1 if fused else 2)
+                             d_reads=1 if fused else 2, batch=batch,
+                             segment_resid=resid_mode == "segment")
     if not hot_k:  # 0/None: the decomposition is off, pure sparse path wins
         return None
     k = int(min(hot_k, n_nodes))

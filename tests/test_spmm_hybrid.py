@@ -349,3 +349,22 @@ def test_hybrid_segment_residual_vmaps():
     ref = jax.vmap(lambda x: spmm_segment(adj_ref, x))(xs)
     got = jax.jit(jax.vmap(lambda x: spmm(adj_s, x)))(xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_choose_hot_k_batch_monotone():
+    # A vmapped EP ensemble (batch > 1) shares the dense D stream across
+    # members but pays the residual per member, so the chosen K can only
+    # grow with the ensemble size.
+    from pytextgcn_tpu.ops.hybrid import _predict_cost_ns, choose_hot_k
+
+    g = _rand_graph(n_vocab=3000, n_docs=2000, n_edges=200_000, seed=4)
+    src, dst = np.asarray(g.edge_src), np.asarray(g.edge_dst)
+    k1 = choose_hot_k(src, g.n_nodes, h=128, dst=dst, segment_resid=True)
+    k6 = choose_hot_k(src, g.n_nodes, h=128, dst=dst, batch=6,
+                      segment_resid=True)
+    assert k6 >= k1 > 0
+    # residual cost scales with batch; the dense byte term does not (only
+    # its MXU-flop term does), so per-candidate cost grows sublinearly
+    c1 = _predict_cost_ns(g.n_nodes, len(src), 50_000, 1024, 128, 4)
+    c6 = _predict_cost_ns(g.n_nodes, len(src), 50_000, 1024, 128, 4, batch=6)
+    assert c1 < c6 < 6 * c1
