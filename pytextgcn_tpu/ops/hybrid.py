@@ -161,7 +161,10 @@ def choose_hot_k(src, n_nodes: int, h: int = 128, itemsize: int = 4,
     for k in candidates:
         if k == 0 or k >= n_nodes:
             continue
-        if n_nodes * k * itemsize > 1.5e9:
+        # d_full memory budget: a batched ensemble amortizes the block's
+        # HBM residency and plan-build cost over its members, so the cap
+        # scales with batch (bounded well under the 16 GB chip HBM)
+        if n_nodes * k * itemsize > min(1.5e9 * batch, 4e9):
             continue  # d_full would not be worth its HBM/plan-build cost
         if r_dst is not None:
             resid = int(np.sum((r_src >= k) & (r_dst >= k)))
