@@ -256,7 +256,11 @@ def main(argv=None):
     if args.hierarchy != "flat":
         return run_hierarchy(args, p, g, level_labels, n_train, n_val, n_classes)
 
+    # same-shaped models across seeds share one jitted step
+    step_cache = {}
+
     rows = []
+    prev_tr = None
     for seed in args.seeds:
         gs = remask(g, args.protocol, n_train, n_val, seed)
         if args.frameworks in ("both", "jax"):
@@ -265,7 +269,14 @@ def main(argv=None):
                 "auto" if args.hybrid_k == "auto" else int(args.hybrid_k)
             )
             tr = Trainer(model, lr=p["lr"], seed=seed, use_pallas=args.use_pallas,
-                         hybrid_k=hk, pallas_dtype=args.pallas_dtype)
+                         hybrid_k=hk, pallas_dtype=args.pallas_dtype,
+                         step_cache=step_cache)
+            if prev_tr is not None:
+                # remask only redraws masks — edges are identical across
+                # seeds, so the normalized adjacency (+ hybrid/Pallas plan)
+                # can be built once and adopted (Trainer.share_adjacency)
+                tr.share_adjacency(prev_tr)
+            prev_tr = tr
             t0 = time.time()
             tr.fit(gs, epochs=p["epochs"], n_classes=n_classes,
                    verbose=args.verbose, eval_every=max(1, p["epochs"] // 10))
