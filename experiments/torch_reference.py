@@ -70,6 +70,9 @@ def train_torch_reference(
     embedding_dim: int = 2000,
     return_forward: bool = False,
     a_hat=None,
+    init_params=None,
+    return_init: bool = False,
+    snapshot_epochs=None,
 ):
     """Train the reference-formulation 2-layer GCN; returns test metrics.
 
@@ -90,6 +93,16 @@ def train_torch_reference(
     — no-grad full-node logits, optionally with *different* hierarchy
     feature columns (how perlevel_amazon.py:156 re-evaluates the trained
     level-2 model on a predictions-fed graph) — plus the shared ``a_hat``.
+
+    Shared-init bisection hooks (VERDICT r2 item 1): ``init_params`` takes
+    a dict of numpy arrays in the JAX model's pytree layout
+    (``{"layers": [{"w", "b"}, ...]}`` + optional ``"embed"``) and starts
+    training from them instead of this process's own sampling;
+    ``return_init=True`` exports the actually-used initial parameters in
+    that same layout (before any update) under ``out["init"]``;
+    ``snapshot_epochs`` (iterable of 1-based epoch numbers) records the
+    post-update parameters at those epochs under ``out["snapshots"]`` for
+    trajectory-level diffs against the JAX side.
     """
     import torch
     from sklearn.metrics import accuracy_score, f1_score
@@ -121,16 +134,50 @@ def train_torch_reference(
     w2 = torch.empty(n_hidden, n_classes)
     torch.nn.init.xavier_uniform_(w1)
     torch.nn.init.xavier_uniform_(w2)
-    w1.requires_grad_(True)
-    w2.requires_grad_(True)
-    b1 = torch.zeros(n_hidden, requires_grad=True)
-    b2 = torch.zeros(n_classes, requires_grad=True)
-    params = [w1, b1, w2, b2]
+    b1 = torch.zeros(n_hidden)
+    b2 = torch.zeros(n_classes)
     if model == "egcn":
         # nn.Linear default init (kaiming_uniform a=sqrt(5), fan_in = in_dim),
         # exactly what the reference's embedding layer gets
         emb = torch.nn.Linear(in_dim, embedding_dim)
+    if init_params is not None:
+        layers = init_params["layers"]
+        with torch.no_grad():
+            w1.copy_(torch.from_numpy(np.asarray(layers[0]["w"], np.float32)))
+            b1.copy_(torch.from_numpy(np.asarray(layers[0]["b"], np.float32)))
+            w2.copy_(torch.from_numpy(np.asarray(layers[1]["w"], np.float32)))
+            b2.copy_(torch.from_numpy(np.asarray(layers[1]["b"], np.float32)))
+            if model == "egcn":
+                # JAX layout stores the embedding as x @ W ([in, out]);
+                # torch Linear keeps W^T ([out, in])
+                emb.weight.copy_(torch.from_numpy(
+                    np.asarray(init_params["embed"]["w"], np.float32).T
+                ))
+                emb.bias.copy_(torch.from_numpy(
+                    np.asarray(init_params["embed"]["b"], np.float32)
+                ))
+    w1.requires_grad_(True)
+    w2.requires_grad_(True)
+    b1.requires_grad_(True)
+    b2.requires_grad_(True)
+    params = [w1, b1, w2, b2]
+    if model == "egcn":
         params += list(emb.parameters())
+
+    def _export_params() -> dict:
+        with torch.no_grad():
+            out = {"layers": [
+                {"w": w1.numpy().copy(), "b": b1.numpy().copy()},
+                {"w": w2.numpy().copy(), "b": b2.numpy().copy()},
+            ]}
+            if model == "egcn":
+                out["embed"] = {
+                    "w": emb.weight.numpy().T.copy(),
+                    "b": emb.bias.numpy().copy(),
+                }
+        return out
+
+    init_export = _export_params() if return_init else None
 
     y = torch.from_numpy(np.asarray(g.y, np.int64))
     train_mask = torch.from_numpy(np.asarray(g.train_mask))
@@ -153,12 +200,16 @@ def train_torch_reference(
         h = drop(h) if train else h
         return torch.sparse.mm(a_hat, h @ w2) + b2
 
+    snapshots = {}
+    snapshot_at = set() if snapshot_epochs is None else {int(e) for e in snapshot_epochs}
     t0 = time.time()
     for epoch in range(epochs):
         opt.zero_grad(set_to_none=True)
         loss = ce(forward(train=True)[train_mask], y[train_mask])
         loss.backward()
         opt.step()
+        if (epoch + 1) in snapshot_at:
+            snapshots[epoch + 1] = _export_params()
         if verbose > 0 and (epoch + 1) % eval_every == 0:
             print(
                 f"[torch {epoch + 1}] loss {float(loss):.3f} "
@@ -199,6 +250,10 @@ def train_torch_reference(
     if return_forward:
         out["predict"] = predict
         out["a_hat"] = a_hat
+    if init_export is not None:
+        out["init"] = init_export
+    if snapshots:
+        out["snapshots"] = snapshots
     return out
 
 

@@ -245,9 +245,11 @@ def _train_per_label_ep(
         g, use_pallas=use_pallas, hybrid_k=hybrid_k,
         pallas_dtype=pallas_dtype, hybrid_resid="segment",
         # all members apply the same adjacency in one vmapped step: the
-        # batched dense half streams D once for the whole ensemble, so the
-        # auto cost model should trade residual edges for a larger hot set
-        hybrid_batch=n_parents,
+        # batched dense half streams D once per *device* — members are
+        # sharded over the mesh axis (and dummy pad members execute too),
+        # so the amortization the cost model should price is the padded
+        # per-device member count, not the global ensemble size
+        hybrid_batch=m_pad // mesh.shape[axis],
     )
     if adj.plan is not None and not use_pallas:
         from ..ops.hybrid import HybridPlan

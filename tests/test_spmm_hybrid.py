@@ -364,7 +364,17 @@ def test_choose_hot_k_batch_monotone():
                       segment_resid=True)
     assert k6 >= k1 > 0
     # residual cost scales with batch; the dense byte term does not (only
-    # its MXU-flop term does), so per-candidate cost grows sublinearly
+    # its MXU-flop term does), so per-candidate cost grows sublinearly.
+    # Derive the expected structure from the model itself instead of a
+    # hard-coded 6x bound (which held by ~1% and would flip on any
+    # _HBM_BPS/_MXU recalibration): cost(b) == dense(b) + b * resid(1).
+    b = 6
     c1 = _predict_cost_ns(g.n_nodes, len(src), 50_000, 1024, 128, 4)
-    c6 = _predict_cost_ns(g.n_nodes, len(src), 50_000, 1024, 128, 4, batch=6)
-    assert c1 < c6 < 6 * c1
+    cb = _predict_cost_ns(g.n_nodes, len(src), 50_000, 1024, 128, 4, batch=b)
+    dense1 = _predict_cost_ns(g.n_nodes, len(src), 0, 1024, 128, 4)
+    denseb = _predict_cost_ns(g.n_nodes, len(src), 0, 1024, 128, 4, batch=b)
+    assert c1 < cb
+    np.testing.assert_allclose(cb - denseb, b * (c1 - dense1), rtol=1e-9)
+    assert denseb <= b * dense1 * (1 + 1e-9)
+    if denseb < b * dense1:  # byte-bound anywhere -> strictly sublinear
+        assert cb < b * c1
