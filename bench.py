@@ -89,6 +89,7 @@ def bench_scale(g, variants):
     import jax
     import jax.numpy as jnp
     import optax
+    from pytextgcn_tpu.train.optim import torch_amsgrad
 
     from pytextgcn_tpu.models import GCN
     from pytextgcn_tpu.ops import NodeFeatures, NormAdj
@@ -98,7 +99,7 @@ def bench_scale(g, variants):
     model = GCN(in_dim=g.in_dim, out_dim=N_CLASSES, n_hidden_gcn=N_HIDDEN, dropout=0.5)
     y = jnp.asarray(g.y)
     mask = jnp.asarray(g.train_mask)
-    opt = optax.amsgrad(0.05)
+    opt = torch_amsgrad(0.05)
 
     # adj rides as a jit ARGUMENT: closed-over arrays would be embedded as
     # constants in the compiled program (and in the remote-compile request

@@ -60,7 +60,10 @@ def _cv_f1(g, y_nodes, doc_nodes, folds, model_name, n_classes, n_hidden,
         )
         cls = GCN if model_name == "GCN" else EGCN
         model = cls(g.in_dim, n_classes, n_hidden_gcn=n_hidden, dropout=dropout)
-        trainer = Trainer(model, lr=lr, seed=seed, step_cache=step_cache)
+        # the reference's hyperopt drivers train with plain Adam, not the
+        # flat drivers' amsgrad variant (old/h_o_train.py:98)
+        trainer = Trainer(model, lr=lr, seed=seed, step_cache=step_cache,
+                          optimizer="adam")
         trainer.fit(g_fold, epochs=epochs, n_classes=n_classes, verbose=0)
         m = trainer.evaluate(g_fold, mask=val_mask, n_classes=n_classes)
         scores.append(m["f1_macro"])

@@ -190,12 +190,22 @@ def run_hierarchy(args, p, g, level_labels, n_train, n_val, n_classes):
 
 
 def _model_factory(args, p):
-    """GCN per the flat protocol, or EGCN (results.csv EGCN rows: same
-    knobs + the reference's embedding_dim=2000 default, models.py:35)."""
+    """GCN per the flat protocol, EGCN (results.csv EGCN rows: same knobs
+    + the reference's embedding_dim=2000 default, models.py:35), or the
+    JumpingKnowledge network (models.py:55-81; VERDICT r2 item 2 asked for
+    a JK protocol row with the same evidence tier as GCN/EGCN)."""
     if args.model == "egcn":
         def factory(in_dim, out_dim):
             return EGCN(in_dim, out_dim, embedding_dim=2000,
                         n_hidden_gcn=p["n_hidden"], dropout=p["dropout"])
+    elif args.model == "jk":
+        from pytextgcn_tpu.models import JumpingKnowledgeNetwork
+
+        def factory(in_dim, out_dim):
+            return JumpingKnowledgeNetwork(
+                in_dim, out_dim, n_hidden_gcn=p["n_hidden"],
+                dropout=p["dropout"],
+            )
     else:
         def factory(in_dim, out_dim):
             return GCN(in_dim, out_dim, n_hidden_gcn=p["n_hidden"],
@@ -213,10 +223,12 @@ def main(argv=None):
                     "value; for smoke runs)")
     ap.add_argument("--frameworks", choices=["both", "jax", "torch"], default="both")
     ap.add_argument(
-        "--model", choices=["gcn", "egcn"], default="gcn",
+        "--model", choices=["gcn", "egcn", "jk"], default="gcn",
         help="EGCN covers the reference's EGCN rows (results.csv:3-5,11-13); "
-        "both frameworks support it in flat mode (the torch side implements "
-        "the embedding head independently, torch_reference.py)",
+        "'jk' is the JumpingKnowledge network (reference models.py:55-81). "
+        "Both frameworks support every choice (the torch side implements "
+        "the embedding head and the BiLSTM-JK independently, "
+        "torch_reference.py)",
     )
     ap.add_argument(
         "--hierarchy", choices=["flat", "perlevel", "perlabel"], default="flat",
@@ -225,6 +237,20 @@ def main(argv=None):
         "train_torch_perlabel in torch_reference.py)",
     )
     ap.add_argument("--out", default="docs/protocol_results.csv")
+    ap.add_argument(
+        "--shared-init", choices=["off", "torch"], default="off",
+        help="flat only: both frameworks train from the SAME torch-sampled "
+        "initial parameters per seed — the paired-seed control that "
+        "removes init sampling from the cross-framework comparison "
+        "(experiments/bisect_offset.py isolates the rest)",
+    )
+    ap.add_argument(
+        "--jax-optimizer", choices=["default", "adam", "torch_amsgrad",
+                                    "optax_amsgrad"], default="default",
+        help="flat only: override the JAX trainer's update rule — "
+        "'optax_amsgrad' reproduces the round-1/2 results (the variant "
+        "whose smaller steps caused the torch-over-JAX offset)",
+    )
     ap.add_argument(
         "--ep", action="store_true",
         help="perlabel only: train the ensemble expert-parallel — one vmapped "
@@ -263,6 +289,18 @@ def main(argv=None):
     prev_tr = None
     for seed in args.seeds:
         gs = remask(g, args.protocol, n_train, n_val, seed)
+        shared_init = None
+        if args.shared_init == "torch":
+            # paired-seed control (VERDICT r2 item 1): torch samples its
+            # glorot init at this seed and BOTH frameworks train from it,
+            # removing init sampling from the comparison entirely
+            from torch_reference import train_torch_reference
+
+            shared_init = train_torch_reference(
+                gs, n_classes, epochs=0, lr=p["lr"], dropout=p["dropout"],
+                n_hidden=p["n_hidden"], seed=seed, model=args.model,
+                return_init=True,
+            )["init"]
         if args.frameworks in ("both", "jax"):
             model = _model_factory(args, p)(gs.in_dim, n_classes)
             hk = None if args.hybrid_k in ("off", "none") else (
@@ -270,7 +308,17 @@ def main(argv=None):
             )
             tr = Trainer(model, lr=p["lr"], seed=seed, use_pallas=args.use_pallas,
                          hybrid_k=hk, pallas_dtype=args.pallas_dtype,
-                         step_cache=step_cache)
+                         step_cache=step_cache,
+                         optimizer=None if args.jax_optimizer == "default"
+                         else args.jax_optimizer)
+            if shared_init is not None:
+                import jax
+                import jax.numpy as jnp
+
+                tr.params = jax.tree.map(
+                    lambda a: jnp.asarray(np.asarray(a, np.float32)),
+                    shared_init,
+                )
             if prev_tr is not None:
                 # remask only redraws masks — edges are identical across
                 # seeds, so the normalized adjacency (+ hybrid/Pallas plan)
@@ -296,6 +344,7 @@ def main(argv=None):
                 gs, n_classes, epochs=p["epochs"], lr=p["lr"],
                 dropout=p["dropout"], n_hidden=p["n_hidden"], seed=seed,
                 verbose=args.verbose, model=args.model,
+                init_params=shared_init,
             )
             rows.append(("torch", seed, m))
             print(f"[torch seed={seed}] acc {m['accuracy']:.4f} "

@@ -73,6 +73,7 @@ def train_torch_reference(
     init_params=None,
     return_init: bool = False,
     snapshot_epochs=None,
+    amsgrad: bool = True,
 ):
     """Train the reference-formulation 2-layer GCN; returns test metrics.
 
@@ -131,15 +132,30 @@ def train_torch_reference(
     in_gcn = embedding_dim if model == "egcn" else in_dim
     # glorot init, like PyG 1.6.3's GCNConv.reset_parameters
     w1 = torch.empty(in_gcn, n_hidden)
-    w2 = torch.empty(n_hidden, n_classes)
+    # JK keeps every GCNConv at n_hidden wide (the Linear head provides
+    # out_channels, reference models.py:62-66); gcn/egcn map layer 2 to the
+    # class count directly
+    w2 = torch.empty(n_hidden, n_hidden if model == "jk" else n_classes)
     torch.nn.init.xavier_uniform_(w1)
     torch.nn.init.xavier_uniform_(w2)
     b1 = torch.zeros(n_hidden)
-    b2 = torch.zeros(n_classes)
+    b2 = torch.zeros(w2.shape[1])
     if model == "egcn":
         # nn.Linear default init (kaiming_uniform a=sqrt(5), fan_in = in_dim),
         # exactly what the reference's embedding layer gets
         emb = torch.nn.Linear(in_dim, embedding_dim)
+    if model == "jk":
+        # PyG 1.6.3 JumpingKnowledge(mode="lstm", channels=n_hidden,
+        # num_layers=2): BiLSTM over the layer axis with
+        # (num_layers * channels) // 2 units per direction, scalar
+        # attention Linear(2*hidden, 1), softmax over layers, weighted sum
+        # (reference models.py:64; pinned against models/jk.py)
+        lstm_hidden = (2 * n_hidden) // 2
+        lstm = torch.nn.LSTM(
+            n_hidden, lstm_hidden, bidirectional=True, batch_first=True
+        )
+        att = torch.nn.Linear(2 * lstm_hidden, 1)
+        head = torch.nn.Linear(n_hidden, n_classes)
     if init_params is not None:
         layers = init_params["layers"]
         with torch.no_grad():
@@ -156,6 +172,20 @@ def train_torch_reference(
                 emb.bias.copy_(torch.from_numpy(
                     np.asarray(init_params["embed"]["b"], np.float32)
                 ))
+            if model == "jk":
+                f32 = lambda a: torch.from_numpy(np.asarray(a, np.float32))
+                for sfx, key in (("l0", "fwd"), ("l0_reverse", "bwd")):
+                    lp = init_params["lstm"][key]
+                    # JAX layout: wi [in, 4H] (x @ wi); torch keeps [4H, in].
+                    # Gate order i,f,g,o is identical on both sides.
+                    getattr(lstm, f"weight_ih_{sfx}").copy_(f32(lp["wi"]).T)
+                    getattr(lstm, f"weight_hh_{sfx}").copy_(f32(lp["wh"]).T)
+                    getattr(lstm, f"bias_ih_{sfx}").copy_(f32(lp["bi"]))
+                    getattr(lstm, f"bias_hh_{sfx}").copy_(f32(lp["bh"]))
+                att.weight.copy_(f32(init_params["att"]["w"]).T)
+                att.bias.copy_(f32(init_params["att"]["b"]))
+                head.weight.copy_(f32(init_params["head"]["w"]).T)
+                head.bias.copy_(f32(init_params["head"]["b"]))
     w1.requires_grad_(True)
     w2.requires_grad_(True)
     b1.requires_grad_(True)
@@ -163,6 +193,8 @@ def train_torch_reference(
     params = [w1, b1, w2, b2]
     if model == "egcn":
         params += list(emb.parameters())
+    if model == "jk":
+        params += list(lstm.parameters()) + list(att.parameters()) + list(head.parameters())
 
     def _export_params() -> dict:
         with torch.no_grad():
@@ -175,6 +207,20 @@ def train_torch_reference(
                     "w": emb.weight.numpy().T.copy(),
                     "b": emb.bias.numpy().copy(),
                 }
+            if model == "jk":
+                out["lstm"] = {
+                    key: {
+                        "wi": getattr(lstm, f"weight_ih_{sfx}").numpy().T.copy(),
+                        "wh": getattr(lstm, f"weight_hh_{sfx}").numpy().T.copy(),
+                        "bi": getattr(lstm, f"bias_ih_{sfx}").numpy().copy(),
+                        "bh": getattr(lstm, f"bias_hh_{sfx}").numpy().copy(),
+                    }
+                    for sfx, key in (("l0", "fwd"), ("l0_reverse", "bwd"))
+                }
+                out["att"] = {"w": att.weight.numpy().T.copy(),
+                              "b": att.bias.numpy().copy()}
+                out["head"] = {"w": head.weight.numpy().T.copy(),
+                               "b": head.bias.numpy().copy()}
         return out
 
     init_export = _export_params() if return_init else None
@@ -182,7 +228,11 @@ def train_torch_reference(
     y = torch.from_numpy(np.asarray(g.y, np.int64))
     train_mask = torch.from_numpy(np.asarray(g.train_mask))
     test_mask = np.asarray(g.test_mask)
-    opt = torch.optim.Adam(params, lr=lr, amsgrad=True)
+    # amsgrad=True matches the flat drivers (flat_amazon.py:89); the
+    # reference's hierarchy/hyperopt drivers use plain Adam
+    # (perlevel_amazon.py:84, perlabel_amazon.py:124) — the per-level /
+    # per-label wrappers below pass amsgrad=False accordingly
+    opt = torch.optim.Adam(params, lr=lr, amsgrad=amsgrad)
     ce = torch.nn.CrossEntropyLoss()
     drop = torch.nn.Dropout(dropout)
 
@@ -195,6 +245,24 @@ def train_torch_reference(
             h = drop(h) if train else h  # EGCN quirk: dropout after every layer
             h = torch.sparse.mm(a_hat, h @ w2) + b2
             return drop(h) if train else h  # ... including the logits
+        if model == "jk":
+            # reference JK forward (models.py:67-81): dropout after EVERY
+            # GCN layer, per-layer activations collected, LSTM-attention
+            # fusion, ReLU, dropout, Linear head
+            h = fm(w1)
+            h = torch.sparse.mm(a_hat, h) + b1
+            h = drop(h) if train else h
+            acts = [h]
+            h = torch.sparse.mm(a_hat, h @ w2) + b2
+            h = drop(h) if train else h
+            acts.append(h)
+            x = torch.stack(acts, dim=1)  # [N, L, H]
+            alpha, _ = lstm(x)
+            score = torch.softmax(att(alpha).squeeze(-1), dim=-1)
+            h = (x * score.unsqueeze(-1)).sum(dim=1)
+            h = torch.relu(h)
+            h = drop(h) if train else h
+            return h @ head.weight.T + head.bias
         h = fm(w1)  # identity feats: X @ W1 == W1 (+ hierarchy block)
         h = torch.sparse.mm(a_hat, h) + b1
         h = drop(h) if train else h
@@ -308,6 +376,7 @@ def train_torch_perlevel(
             g_lvl, n_classes, epochs=epochs, lr=lr, dropout=dropout,
             n_hidden=n_hidden, seed=seed + lvl, verbose=verbose, model=model,
             return_forward=True, a_hat=a_hat,
+            amsgrad=False,  # plain Adam, perlevel_amazon.py:84
         )
         a_hat = res["a_hat"]
         results.append(res)
@@ -389,6 +458,7 @@ def train_torch_perlabel(
             g_c, len(classes), epochs=epochs, lr=lr, dropout=dropout,
             n_hidden=n_hidden, seed=seed, verbose=verbose, model=model,
             return_forward=True, a_hat=a_hat,
+            amsgrad=False,  # plain Adam, perlabel_amazon.py:124
         )
         a_hat = res["a_hat"]
         train_seconds += res["train_seconds"]

@@ -125,6 +125,9 @@ def train_per_label(
     trainer_kwargs = dict(trainer_kwargs or {})
     # ensemble members with the same child-class count share one jitted step
     trainer_kwargs.setdefault("step_cache", {})
+    # the reference's per-label driver trains with PLAIN Adam, not amsgrad
+    # (perlabel_amazon.py:124 vs flat_amazon.py:89)
+    trainer_kwargs.setdefault("optimizer", "adam")
     y_child = np.asarray(y_child, np.int64)
     y_parent = np.asarray(y_parent, np.int64)
     n_parents = int(y_parent.max()) + 1
@@ -200,7 +203,10 @@ def _train_per_label_ep(
     trainer_kwargs = dict(trainer_kwargs or {})
     use_pallas = bool(trainer_kwargs.pop("use_pallas", False))
     # honor a caller-supplied update rule (it stays in trainer_kwargs too,
-    # so the returned Trainers refit with the same rule they trained under)
+    # so the returned Trainers refit with the same rule they trained under);
+    # default = plain Adam, the reference per-label driver's optimizer
+    # (perlabel_amazon.py:124) — same default as the sequential path above
+    trainer_kwargs.setdefault("optimizer", "adam")
     optimizer = trainer_kwargs.get("optimizer")
     # the hybrid decomposition composes with the vmapped EP step: the dense
     # hot products batch into one dot_general per layer across all members,
@@ -262,7 +268,9 @@ def _train_per_label_ep(
     feats = NodeFeatures.from_graph(g)
     model_pad = models[int(np.argmax(c_list))]  # apply() reads shapes from params
 
-    opt = optimizer if optimizer is not None else optax.amsgrad(lr)
+    from ..train.optim import resolve_optimizer
+
+    opt = resolve_optimizer(optimizer, lr)
     opt_state = jax.jit(jax.vmap(opt.init))(stacked)
 
     @jax.jit

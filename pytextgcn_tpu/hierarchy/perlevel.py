@@ -71,6 +71,10 @@ def train_per_level(
     k-2; only the last level swaps in predictions).
     """
     trainer_kwargs = dict(trainer_kwargs or {})
+    # the reference's per-level drivers train with PLAIN Adam — only the
+    # flat drivers pass amsgrad=True (perlevel_amazon.py:84,129,
+    # perlevel_dbpedia.py:104 vs flat_amazon.py:89)
+    trainer_kwargs.setdefault("optimizer", "adam")
     trainers: List[Trainer] = []
     histories = []
     hierarchy_gt = None  # GT one-hot of previous level

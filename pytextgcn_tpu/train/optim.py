@@ -95,3 +95,31 @@ def torch_amsgrad(
         scale_by_torch_amsgrad(b1=b1, b2=b2, eps=eps),
         optax.scale(-learning_rate),
     )
+
+
+def resolve_optimizer(optimizer, lr: float) -> optax.GradientTransformation:
+    """Resolve the Trainer's ``optimizer`` argument.
+
+    ``None`` -> the flat-protocol parity default ``torch_amsgrad(lr)``
+    (flat_amazon.py:89 / flat_dbpedia.py:89 are the only reference drivers
+    that pass ``amsgrad=True``); ``"adam"`` -> ``optax.adam(lr)``, which is
+    numerically identical to torch's plain ``Adam`` (the reference's
+    hierarchy/hyperopt/MLP drivers: perlevel_amazon.py:84,
+    perlabel_amazon.py:124, old/h_o_train.py:98, MLP_flat.py:68);
+    ``"torch_amsgrad"``/``"amsgrad"`` -> torch_amsgrad; ``"optax_amsgrad"``
+    -> the optax variant (kept reachable for the bisection, see
+    experiments/bisect_offset.py); any optax transformation -> itself.
+    """
+    if optimizer is None:
+        return torch_amsgrad(lr)
+    if isinstance(optimizer, str):
+        table = {
+            "adam": optax.adam,
+            "amsgrad": torch_amsgrad,
+            "torch_amsgrad": torch_amsgrad,
+            "optax_amsgrad": optax.amsgrad,
+        }
+        if optimizer not in table:
+            raise ValueError(f"unknown optimizer {optimizer!r}")
+        return table[optimizer](lr)
+    return optimizer

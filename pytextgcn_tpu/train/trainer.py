@@ -2,9 +2,15 @@
 
 Replaces the reference's copy-pasted per-script epoch loops (e.g.
 flat_amazon.py:99-123) with a single jitted train step: forward, masked
-cross-entropy, backward, optax Adam(amsgrad) update — one compiled program
-per epoch, no host round-trips except scalar logging. Optimizer matches the
-reference's ``th.optim.Adam(lr, amsgrad=True)`` (flat_amazon.py:89).
+cross-entropy, backward, Adam(amsgrad) update — one compiled program per
+epoch, no host round-trips except scalar logging. The default optimizer is
+``torch_amsgrad`` (train/optim.py), which reproduces the reference's
+``th.optim.Adam(lr, amsgrad=True)`` (flat_amazon.py:89) update for update
+— optax.amsgrad is a *different* AMSGrad variant whose systematically
+smaller steps cost ~1 accuracy point at protocol scale (bisected in
+experiments/bisect_offset.py, RESULTS.md). The reference's hierarchy and
+hyperopt drivers use plain Adam instead (perlevel_amazon.py:84); pass
+``optimizer="adam"`` for those protocols.
 """
 
 from __future__ import annotations
@@ -30,7 +36,7 @@ class Trainer:
         model,
         lr: float = 0.05,
         seed: int = 0,
-        optimizer: Optional[optax.GradientTransformation] = None,
+        optimizer=None,  # None | "adam" | "torch_amsgrad" | "optax_amsgrad" | optax transformation
         use_pallas: bool = False,
         mesh=None,
         step_cache: Optional[dict] = None,
@@ -52,11 +58,18 @@ class Trainer:
         self.model = model
         self.lr = lr
         self.seed = seed
-        self.optimizer = optimizer if optimizer is not None else optax.amsgrad(lr)
-        # identifies the update rule in the shared step cache: the default
-        # optimizer is cacheable by (name, lr); a custom one only by object
-        # identity (two structurally-equal custom optimizers never share)
-        self._opt_desc = ("amsgrad", lr) if optimizer is None else ("custom", id(optimizer))
+        from .optim import resolve_optimizer
+
+        self.optimizer = resolve_optimizer(optimizer, lr)
+        # identifies the update rule in the shared step cache: None and the
+        # string names are cacheable by (name, lr); a custom transformation
+        # only by object identity (two structurally-equal custom optimizers
+        # never share)
+        self._opt_desc = (
+            ("torch_amsgrad", lr) if optimizer is None
+            else (optimizer, lr) if isinstance(optimizer, str)
+            else ("custom", id(optimizer))
+        )
         self.use_pallas = use_pallas
         self.hybrid_k = hybrid_k  # dense-hot SpMM decomposition (ops/hybrid.py)
         self.hybrid_fused = hybrid_fused  # one-pass-over-D kernel (None = backend default)

@@ -1,0 +1,28 @@
+"""The offset-bisection harness (experiments/bisect_offset.py) at toy scale:
+with a shared torch init and no dropout, the JAX torch-exact AMSGrad must
+track torch's parameter trajectory to float noise (stage A), while
+optax.amsgrad — the round-1/2 default — must measurably diverge (stage B).
+This is the executable form of the VERDICT r2 Weak #1 resolution."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "experiments"))
+
+
+def test_bisect_stages_a_b():
+    import bisect_offset
+
+    out = bisect_offset.main([
+        "--protocol", "amazon", "--n-docs", "400", "--epochs", "10",
+        "--skip-c", "--verbose", "0",
+    ])
+    a = out["A"]["trajectory_diff_vs_torch"]
+    b = out["B"]["trajectory_diff_vs_torch"]
+    # stage A: torch-exact rule tracks torch within float noise
+    assert a[10]["max_abs"] < 1e-3, a
+    # stage B: the optax variant is a genuinely different update rule —
+    # divergence at least 100x stage A's by epoch 10 (epoch 1 matches by
+    # construction: both variants coincide at t=1)
+    assert b[1]["max_abs"] < 1e-4
+    assert b[10]["max_abs"] > 100 * a[10]["max_abs"]

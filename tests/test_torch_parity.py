@@ -71,3 +71,57 @@ def test_two_layer_activations_match_torch():
     want = torch_gcnconv(h, src, dst, w, w2, b2).numpy()
 
     np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-5)
+
+
+def test_jk_forward_matches_torch_with_shared_params():
+    """JumpingKnowledge correctness pin (VERDICT r2 item 2): the JAX
+    BiLSTM-JK (models/jk.py) and an independent plain-torch implementation
+    of PyG 1.6.3 JumpingKnowledge(mode='lstm') semantics
+    (experiments/torch_reference.py, model='jk') produce allclose logits
+    from the SAME parameters — pinning LSTM gate order, direction handling,
+    attention softmax and head, not just shapes."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "experiments")
+    )
+    from torch_reference import train_torch_reference
+
+    from pytextgcn_tpu.models import JumpingKnowledgeNetwork
+
+    rng = np.random.default_rng(11)
+    n_vocab, n_docs, n_edges, n_classes = 25, 35, 300, 4
+    n = n_vocab + n_docs
+    src_np = rng.integers(0, n, n_edges).astype(np.int32)
+    dst_np = rng.integers(0, n, n_edges).astype(np.int32)
+    w_np = (rng.random(n_edges) + 0.1).astype(np.float32)
+    test_mask = np.zeros(n, bool)
+    test_mask[n_vocab + 20 :] = True
+    g = TextGraph(
+        edge_src=src_np, edge_dst=dst_np, edge_w=w_np,
+        y=np.concatenate([np.zeros(n_vocab, np.int32),
+                          rng.integers(0, n_classes, n_docs).astype(np.int32)]),
+        train_mask=~test_mask, val_mask=np.zeros(n, bool),
+        test_mask=test_mask, n_vocab=n_vocab, n_docs=n_docs,
+    )
+    model = JumpingKnowledgeNetwork(n, n_classes, n_hidden_gcn=12)
+    params = model.init(jax.random.PRNGKey(5))
+    ours = np.asarray(
+        model.apply(
+            params, NormAdj.from_graph(g), NodeFeatures.from_graph(g),
+            train=False,
+        )
+    )
+
+    params_np = jax.tree.map(np.asarray, params)
+    res = train_torch_reference(
+        g, n_classes, epochs=0, n_hidden=12, model="jk", seed=0,
+        init_params=params_np, return_forward=True, return_init=True,
+    )
+    theirs = res["predict"]()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+    # the import/export round-trip is lossless (layout transposes cancel)
+    for a, b in zip(jax.tree.leaves(params_np), jax.tree.leaves(res["init"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
