@@ -171,6 +171,11 @@ def bench_scale(g, variants):
         if masked and floor is not None and adj_out is not None:
             floor = (2 * floor + 2 * adj_out.floor_spmm_ns) / 4
         preds[name] = (floor, getattr(adj.plan, "k", None))
+        from pytextgcn_tpu.ops.hybrid import HybridPlan
+
+        if isinstance(adj.plan, HybridPlan):
+            # kept for the run-time probed-floor account in main()
+            preds["_plan_" + name] = adj.plan
         log(
             f"  {name}: {dt * 1e3:.2f} ms/step "
             f"({4 * g.n_edges / dt / 1e9:.3f} G edge-trav/s; "
@@ -247,6 +252,43 @@ def main():
     fraction_of_achievable = (
         round(4 * floor_ns * 1e-9 / res[frac_name], 4) if floor_ns else None
     )
+    # RUN-TIME floor (VERDICT r2 item 3): re-measure the chip's gather
+    # issue rate / streaming bandwidth / MXU rates fresh (ops/probe.py) and
+    # derive the floor from those instead of the ops/hybrid.py constants.
+    # The probed floor accounts the step's actual four applications (2 at
+    # h=N_HIDDEN forward+backward of layer 1, 2 at h=N_CLASSES for layer
+    # 2), where the frozen-constant floor uses the plan's h_hint=128.
+    probe_fields = {}
+    plan = all_results[n_docs][2].get("_plan_" + frac_name)
+    if plan is not None:
+        try:
+            from pytextgcn_tpu.ops.probe import probe_chip
+
+            pr = probe_chip()
+            floor_probed_s = (
+                2 * pr.hybrid_floor_ns(plan, N_HIDDEN)
+                + 2 * pr.hybrid_floor_ns(plan, N_CLASSES)
+            ) * 1e-9
+            probe_fields = {
+                "probed_gather_ns": round(pr.gather_ns, 3),
+                "probed_hbm_bps": round(pr.hbm_bps, 1),
+                "probed_mxu_f32_fps": round(pr.mxu_f32_fps, 1),
+                "probed_mxu_bf16_fps": round(pr.mxu_bf16_fps, 1),
+                "probe_s": round(pr.probe_s, 1),
+                "fraction_of_achievable_probed": round(
+                    floor_probed_s / res[frac_name], 4
+                ),
+            }
+            log(
+                f"probe: gather {pr.gather_ns:.2f} ns/row, stream "
+                f"{pr.hbm_bps / 1e9:.0f} GB/s, MXU f32 "
+                f"{pr.mxu_f32_fps / 1e12:.1f} TF/s (bf16 "
+                f"{pr.mxu_bf16_fps / 1e12:.1f}); probed floor "
+                f"{floor_probed_s * 1e3:.1f} ms vs step "
+                f"{res[frac_name] * 1e3:.1f} ms"
+            )
+        except Exception as e:  # probes must never sink the benchmark
+            log(f"chip probe failed ({type(e).__name__}: {e})")
     best_k = preds.get(best_name, (None, None))[1]
     masked_speedup = (
         round(res["hybrid f32"] / res["hybrid f32 masked-head"], 3)
@@ -268,6 +310,7 @@ def main():
         "vs_baseline": round(seg_dt / best_dt, 3) if seg_dt else 1.0,
         "fraction_of_roofline": round(fraction, 4),
         "fraction_of_achievable": fraction_of_achievable,
+        **probe_fields,
         "masked_head_speedup": masked_speedup,
         "hybrid_k": best_k,
         "x_of_gather_floor": round(x_of_gather_floor, 3),

@@ -167,6 +167,10 @@ class Text2Graph:
             n_vocab=int(n_vocab),
             n_docs=int(n_docs),
             hierarchy_feats=hf,
+            # PMI edges are emitted in both directions with equal weight
+            # and doc<->word edges carry the same TF-IDF both ways
+            # (text2graph.py:162-171) — construction-guaranteed symmetry
+            weight_symmetric=True,
         )
         self._log(1, f"total edge count is {g.n_edges} (built in {time.time() - t0:.2f}s)")
 

@@ -37,7 +37,7 @@ import numpy as np
         "hierarchy_feats",
         "x",
     ],
-    meta_fields=["n_vocab", "n_docs"],
+    meta_fields=["n_vocab", "n_docs", "weight_symmetric"],
 )
 @dataclasses.dataclass
 class TextGraph:
@@ -83,6 +83,12 @@ class TextGraph:
     n_docs: int
     hierarchy_feats: Optional[jax.Array] = None
     x: Optional[jax.Array] = None
+    # True when construction GUARANTEES every edge (i, j, w) is mirrored as
+    # (j, i, w) — Text2Graph emits PMI and TF-IDF edges in both directions
+    # (text2graph.py:162-171), and symmetric normalization preserves it.
+    # The hybrid SpMM's full O(E log E) symmetry audit is then replaced by
+    # an O(E) randomized spot-check (ops/hybrid.py::check_weight_symmetric_fast)
+    weight_symmetric: bool = False
 
     @property
     def n_nodes(self) -> int:
@@ -118,7 +124,8 @@ class TextGraph:
             arrays["hierarchy_feats"] = np.asarray(self.hierarchy_feats)
         if self.x is not None:
             arrays["x"] = np.asarray(self.x)
-        meta = json.dumps({"n_vocab": self.n_vocab, "n_docs": self.n_docs})
+        meta = json.dumps({"n_vocab": self.n_vocab, "n_docs": self.n_docs,
+                           "weight_symmetric": bool(self.weight_symmetric)})
         arrays["meta"] = np.frombuffer(meta.encode(), dtype=np.uint8)
         # np.savez silently appends '.npz' to extension-less paths; load()
         # mirrors the same normalization so save(p) -> load(p) always works
@@ -144,6 +151,7 @@ class TextGraph:
                 n_docs=int(meta["n_docs"]),
                 hierarchy_feats=z["hierarchy_feats"] if "hierarchy_feats" in z else None,
                 x=z["x"] if "x" in z else None,
+                weight_symmetric=bool(meta.get("weight_symmetric", False)),
             )
 
 

@@ -52,6 +52,7 @@ class NormAdj:
         hybrid_fused: Optional[bool] = None,
         hybrid_resid: str = "pallas",
         hybrid_batch: int = 1,
+        plan_cache: Optional[str] = None,
     ) -> "NormAdj":
         """``hybrid_k``: enable the dense-hot/sparse-cold decomposition
         (ops/hybrid.py) with a hot set of that size ('auto' = cost-model
@@ -62,7 +63,10 @@ class NormAdj:
         'segment' | 'auto' — how the cold-cold residual executes (segment
         is vmappable; the EP ensemble step uses it). ``hybrid_batch``:
         models applying this operator per step (EP ensembles) — biases
-        the auto-K choice toward larger hot sets."""
+        the auto-K choice toward larger hot sets. ``plan_cache``:
+        directory for persisted hybrid plans (ops/plan_cache.py) — a warm
+        process skips host-side plan construction, keyed by an edge
+        fingerprint + build parameters."""
         # normalization on host (numpy): one-time preprocessing; keeps all
         # device work inside jitted hot paths
         src = np.asarray(g.edge_src)
@@ -72,12 +76,15 @@ class NormAdj:
         if hybrid_k == 0:  # explicit 0 = decomposition off (same contract as
             hybrid_k = None  # build_hybrid_plan) -> segment path unless use_pallas
         if hybrid_k is not None:
-            from .hybrid import build_hybrid_plan
+            from .plan_cache import load_or_build
 
-            plan = build_hybrid_plan(
-                src, dst, norm_w, g.n_nodes, hot_k=hybrid_k,
+            plan = load_or_build(
+                plan_cache, g, src, dst, norm_w, hot_k=hybrid_k,
                 compute_dtype=pallas_dtype, fused=hybrid_fused,
                 resid_mode=hybrid_resid, batch=hybrid_batch,
+                # symmetric normalization preserves construction-guaranteed
+                # weight symmetry -> the cheap randomized audit suffices
+                validate="fast" if getattr(g, "weight_symmetric", False) else True,
             )
         if plan is None and (use_pallas or hybrid_k is not None):
             from .spmm_pallas import build_plan_from_arrays

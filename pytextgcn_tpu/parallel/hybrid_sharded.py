@@ -117,6 +117,7 @@ def build_hybrid_sharded_adj(
     from ..ops.hybrid import (
         _scatter_dense_block,
         check_weight_symmetric,
+        check_weight_symmetric_fast,
         choose_hot_k,
     )
 
@@ -157,7 +158,11 @@ def build_hybrid_sharded_adj(
     # only for weight-symmetric adjacencies; under 'auto' fall back to the
     # pure halo path (exact for any operator), raise only for a forced K
     try:
-        check_weight_symmetric(src, dst, norm_w, sel=src_hot | dst_hot)
+        if getattr(g, "weight_symmetric", False):
+            # construction-guaranteed (Text2Graph): O(E) randomized audit
+            check_weight_symmetric_fast(src, dst, norm_w, n_nodes)
+        else:
+            check_weight_symmetric(src, dst, norm_w, sel=src_hot | dst_hot)
     except ValueError:
         if auto:
             import warnings

@@ -47,6 +47,7 @@ class Trainer:
         tp_mesh=None,
         debug_checks: bool = False,
         masked_head: bool = False,
+        plan_cache: Optional[str] = None,
     ):
         """``mesh``: a `jax.sharding.Mesh` with a 'graph' axis — training
         then runs with the aggregation edge-partitioned across the mesh
@@ -101,6 +102,10 @@ class Trainer:
         # operator (parallel/restricted_sharded.py): full [N, H] row-sharded
         # output, zero at non-train rows, so labels/masks stay unsliced.
         self.masked_head = masked_head
+        # directory for persisted hybrid plans (ops/plan_cache.py): a fresh
+        # process warm-loads the host-built plan instead of re-running the
+        # 5-30 s construction (single-device aggregation path)
+        self.plan_cache = plan_cache
         self.step_cache = step_cache
         self.params = None
         self.opt_state = None
@@ -226,6 +231,7 @@ class Trainer:
                     g, use_pallas=self.use_pallas, hybrid_k=self.hybrid_k,
                     hybrid_fused=self.hybrid_fused,
                     pallas_dtype=self.pallas_dtype,
+                    plan_cache=self.plan_cache,
                 )
             self._adj_edge_src = g.edge_src
             self._adj_edge_w = g.edge_w
