@@ -27,6 +27,15 @@ def main(argv=None):
         "over all local devices (word_word_edges_sharded)",
     )
     p.add_argument(
+        "--corpus", choices=["classes", "zipf"], default="classes",
+        help="'zipf': open-vocabulary Zipfian corpus (use with --min-df 1 "
+        "and --v-draw to stress LARGE vocabularies — past the native "
+        "kernel's triangle budget, 'auto' must route to the sparse device "
+        "path; VERDICT r2 item 8)",
+    )
+    p.add_argument("--v-draw", type=int, default=120_000,
+                   help="zipf corpus: distinct word surfaces drawn from")
+    p.add_argument(
         "--plan-bench", action="store_true",
         help="additionally time the hybrid SpMM plan: cold build vs warm "
         "load through the persistent plan cache (ops/plan_cache.py; "
@@ -34,10 +43,25 @@ def main(argv=None):
     )
     args = p.parse_args(argv)
 
-    docs, labels = synthetic_corpus(
-        n_docs=args.n_docs, n_classes=args.n_classes,
-        vocab_per_class=120, shared_vocab=800, doc_len=(30, 180), seed=0,
-    )
+    if args.corpus == "zipf":
+        rng = np.random.default_rng(0)
+        p_w = 1.0 / np.arange(1, args.v_draw + 1) ** 1.05
+        cum = np.cumsum(p_w / p_w.sum())
+        lengths = np.clip(
+            np.exp(rng.normal(3.9, 0.5, args.n_docs)).astype(int), 8, 300
+        )
+        docs = []
+        for i in range(args.n_docs):
+            idx = np.searchsorted(cum, rng.random(lengths[i])).clip(
+                0, args.v_draw - 1
+            )
+            docs.append(" ".join(f"w{j}" for j in idx))
+        labels = list(rng.integers(0, args.n_classes, args.n_docs))
+    else:
+        docs, labels = synthetic_corpus(
+            n_docs=args.n_docs, n_classes=args.n_classes,
+            vocab_per_class=120, shared_vocab=800, doc_len=(30, 180), seed=0,
+        )
     test_idx = np.arange(len(docs) - len(docs) // 5, len(docs))
     g = None
     for backend in args.backends:

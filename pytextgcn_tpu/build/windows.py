@@ -32,6 +32,7 @@ textgcn/test/test_cfunc.py:81-99 values):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -380,8 +381,22 @@ def word_word_edges(
 
     ``n_jobs``: native-kernel thread count; 0 = hardware concurrency. (The
     reference documents ``n_jobs`` on its Cython kernel but never uses it —
-    graphbuilder.pyx:36; here it is honored.)"""
+    graphbuilder.pyx:36; here it is honored.)
+
+    Max-vocab policy: the native kernel (like the reference's Cython one,
+    graphbuilder.pyx:44) accumulates into a packed V(V+1)/2 triangle —
+    4 bytes per cell, i.e. ~5 GB at V=50k and ~20 GB at V=100k, plus
+    per-thread private copies. 'auto' therefore routes vocabularies whose
+    triangle would exceed ``PYTEXTGCN_NATIVE_TRI_BYTES`` (default 2 GB,
+    ~V=31.6k) to the *sparse* device path, which scales with the number of
+    distinct co-occurring pairs instead of V^2. Forcing ``backend='native'``
+    overrides the policy (the kernel itself is int64/uint64-indexed and
+    correct at any size that fits in RAM)."""
     if backend == "auto":
+        tri_bytes = n_vocab * (n_vocab + 1) // 2 * 4
+        limit = int(os.environ.get("PYTEXTGCN_NATIVE_TRI_BYTES", 2_000_000_000))
+        if tri_bytes > limit:
+            return word_word_edges_device(tokens, n_vocab, window_size)
         try:
             from .native_bridge import native_word_word_edges
 

@@ -143,3 +143,38 @@ def test_random_corpus_backends_agree(backend):
         assert got[2] == ref[2], f"n_windows mismatch trial {trial}"
         np.testing.assert_array_equal(got[0], ref[0])
         np.testing.assert_array_equal(got[1], ref[1])
+
+
+def test_auto_backend_routes_large_vocab_to_sparse(monkeypatch):
+    """Max-vocab policy (VERDICT r2 item 8): the native kernel's packed
+    triangle is V(V+1)/2 * 4 bytes — 'auto' must route vocabularies past
+    the budget to the sparse device path instead of allocating gigabytes.
+    The reference inherits the same cliff (graphbuilder.pyx:44) with no
+    fallback at all."""
+    import pytextgcn_tpu.build.native_bridge as nb
+    from pytextgcn_tpu.build.windows import word_word_edges
+
+    rng = np.random.default_rng(0)
+    n_vocab = 50_000  # triangle would be ~5 GB
+    tokens = rng.integers(0, n_vocab, (20, 12)).astype(np.int32)
+
+    def boom(*a, **k):
+        raise AssertionError("native kernel invoked past the triangle budget")
+
+    monkeypatch.setattr(nb, "native_word_word_edges", boom)
+    coo, w, n_win = word_word_edges(tokens, n_vocab, window_size=5, backend="auto")
+    assert n_win == 20 * (12 - 5 + 1)
+    assert coo.shape[1] == 2 and len(w) == len(coo)
+
+    # under the budget, auto still prefers the native kernel (sentinel
+    # return value, since auto's try/except would swallow a raise)
+    sentinel = (np.zeros((0, 2), np.int32), np.zeros(0, np.float32), 12345)
+    monkeypatch.setattr(nb, "native_word_word_edges", lambda *a, **k: sentinel)
+    small = rng.integers(0, 50, (5, 8)).astype(np.int32)
+    assert word_word_edges(small, 50, window_size=3, backend="auto")[2] == 12345
+
+    # an explicit 'native' request overrides the policy even past the budget
+    monkeypatch.setenv("PYTEXTGCN_NATIVE_TRI_BYTES", "1000")
+    assert word_word_edges(small, 50, window_size=3, backend="native")[2] == 12345
+    # ...while auto now routes even this tiny vocab to the device path
+    assert word_word_edges(small, 50, window_size=3, backend="auto")[2] != 12345
