@@ -481,3 +481,96 @@ def train_torch_perlabel(
         "f1_macro": float(f1_score(yt, pt, average="macro")),
         "train_seconds": train_seconds,
     }
+
+
+def train_torch_mlp(
+    splits,
+    level: int,
+    *,
+    hidden=(256, 128),
+    lr: float = 2e-3,
+    dropout: float = 0.5,
+    epochs: int = 500,
+    seed: int = 42,
+    patience: int = 10,
+    min_epochs: int = 30,
+    verbose: int = 0,
+):
+    """Independent torch implementation of the reference MLP baseline
+    (MLP_flat.py:14-127 + mlp_helper.py): sparse-input SELU MLP, plain
+    ``Adam(lr=2e-3)`` (MLP_flat.py:68 — no amsgrad), full-batch CE, and the
+    reference's patience early-stopping rule on val macro-F1
+    (MLP_flat.py:94-100: stop once each of the last ``patience`` F1s is
+    <= the F1 from ``patience+1`` epochs ago, after ``min_epochs``).
+
+    ``splits`` is the SAME object the JAX baseline trains on
+    (pytextgcn_tpu.baselines.fit_tfidf_splits — train-only vectorizer fit,
+    mlp_helper.py:38) so the comparison is feature-controlled; every tensor
+    op below is torch.
+    """
+    import torch
+    from sklearn.metrics import accuracy_score, f1_score
+
+    torch.manual_seed(seed)
+
+    def t_sparse(m):
+        coo = m.tocoo()
+        return torch.sparse_coo_tensor(
+            torch.from_numpy(np.stack([coo.row, coo.col]).astype(np.int64)),
+            torch.from_numpy(coo.data.astype(np.float32)),
+            coo.shape,
+        ).coalesce().to_sparse_csr()
+
+    x_train = t_sparse(splits.x_train)
+    x_val = t_sparse(splits.x_val)
+    x_test = t_sparse(splits.x_test)
+    y_train = torch.from_numpy(np.asarray(splits.y_train[level], np.int64))
+    y_val = np.asarray(splits.y_val[level], np.int64)
+    y_test = np.asarray(splits.y_test[level], np.int64)
+    n_classes = int(max(y_train.max().item(), y_val.max(), y_test.max())) + 1
+
+    dims = [splits.x_train.shape[1], *hidden, n_classes]
+    layers = [torch.nn.Linear(a, b) for a, b in zip(dims[:-1], dims[1:])]
+    params = [p for l in layers for p in l.parameters()]
+    opt = torch.optim.Adam(params, lr=lr)
+    ce = torch.nn.CrossEntropyLoss()
+    drop = torch.nn.Dropout(dropout)
+
+    def forward(x, train: bool):
+        h = torch.sparse.mm(x, layers[0].weight.T) + layers[0].bias
+        for lin in layers[1:]:
+            h = torch.selu(h)
+            h = drop(h) if train else h
+            h = h @ lin.weight.T + lin.bias
+        return h
+
+    t0 = time.time()
+    history = []
+    for epoch in range(epochs):
+        opt.zero_grad(set_to_none=True)
+        loss = ce(forward(x_train, train=True), y_train)
+        loss.backward()
+        opt.step()
+        with torch.no_grad():
+            pred_val = forward(x_val, train=False).argmax(1).numpy()
+        f1_val = f1_score(y_val, pred_val, average="macro")
+        history.append((float(loss), f1_val))
+        if verbose > 0 and (epoch + 1) % 50 == 0:
+            print(f"[torch mlp {epoch + 1}] loss {float(loss):.3f} "
+                  f"val_f1 {f1_val:.3f}", flush=True)
+        if epoch > min_epochs and len(history) > patience:
+            dec = sum(
+                history[-(i + 1)][1] <= history[-(patience + 1)][1]
+                for i in range(patience)
+            )
+            if dec >= patience:
+                break
+
+    with torch.no_grad():
+        pred = forward(x_test, train=False).argmax(1).numpy()
+    return {
+        "accuracy": float(accuracy_score(y_test, pred)),
+        "f1_macro": float(f1_score(y_test, pred, average="macro")),
+        "train_seconds": time.time() - t0,
+        "epochs_ran": len(history),
+    }

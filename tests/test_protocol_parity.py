@@ -91,3 +91,23 @@ def test_protocol_remask_semantics():
     # word nodes never train; masks are disjoint
     assert not g42.train_mask[: g.n_vocab].any()
     assert not (g42.train_mask & (g42.val_mask | g42.test_mask)).any()
+
+
+def test_mlp_parity_smoke(tmp_path):
+    """The torch MLP baseline column (VERDICT r2 item 6): both frameworks
+    train on identical TF-IDF splits and land in the same region."""
+    import mlp_parity
+
+    out = tmp_path / "results.csv"
+    summary = mlp_parity.main([
+        "--protocol", "amazon", "--seeds", "42", "--n-docs", "500",
+        "--epochs", "40", "--frameworks", "both", "--verbose", "0",
+        "--out", str(out),
+    ])
+    assert "jax" in summary and "torch" in summary
+    assert abs(summary["jax"]["accuracy"][0] - summary["torch"]["accuracy"][0]) < 0.15
+    import csv
+
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    assert [r["model"] for r in rows] == ["MLP", "MLP"]
