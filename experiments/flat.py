@@ -63,6 +63,9 @@ def main(argv=None):
         pallas_dtype=cfg.train.pallas_dtype,
         debug_checks=cfg.train.debug_checks,
         masked_head=cfg.train.masked_head,
+        # flat protocol default = torch-exact Adam(amsgrad=True)
+        optimizer=None if cfg.train.optimizer == "default" else cfg.train.optimizer,
+        plan_cache=cfg.train.plan_cache or None,
         # --train-sharding off|allgather|halo|hybrid: mesh/halo/hybrid_k
         **sharding_args(cfg.train, hybrid_k_arg(cfg.train)),
     )

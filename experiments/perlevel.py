@@ -63,7 +63,13 @@ def main(argv=None):
         trainer_kwargs={"use_pallas": cfg.train.use_pallas,
                         "hybrid_k": hybrid_k_arg(cfg.train),
                         "hybrid_fused": hybrid_fused_arg(cfg.train),
-                        "pallas_dtype": cfg.train.pallas_dtype},
+                        "pallas_dtype": cfg.train.pallas_dtype,
+                        # hierarchy protocol default = plain Adam
+                        # (perlevel_amazon.py:84, perlabel_amazon.py:124)
+                        **({} if cfg.train.optimizer == "default"
+                           else {"optimizer": cfg.train.optimizer}),
+                        **({"plan_cache": cfg.train.plan_cache}
+                           if cfg.train.plan_cache else {})},
     )
     m = res["metrics"]
     print(f"Test Accuracy: {m['accuracy']: .4f}")

@@ -65,6 +65,15 @@ class TrainConfig:
     # checkify-instrumented steps: raise on NaN/Inf/out-of-bounds at the
     # offending epoch (slow; forces the segment aggregation) — SURVEY §5
     debug_checks: bool = False
+    # update rule: 'default' = the driver's reference-protocol optimizer
+    # (flat drivers: torch-exact Adam(amsgrad=True), train/optim.py;
+    # hierarchy/hyperopt: plain Adam — matching flat_amazon.py:89 vs
+    # perlevel_amazon.py:84); or force 'adam' | 'torch_amsgrad' |
+    # 'optax_amsgrad'
+    optimizer: str = "default"
+    # directory for persisted hybrid SpMM plans (ops/plan_cache.py): warm
+    # processes skip the host-side plan construction; '' disables
+    plan_cache: str = ""
     # masked-head training (ops/restricted.py): the final layer aggregates
     # into the train rows only — exact for GCN (dropout on hidden layers);
     # composes with --train-sharding via parallel/restricted_sharded.py
