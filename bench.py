@@ -30,6 +30,10 @@ N_CLASSES = 43  # Amazon Cat2
 EPOCHS_MEASURED = 20
 SCALES = [8_000, 20_000]  # corpus sizes (docs); E ~ 3M / ~8M edges
 MEASURED_HBM_GBPS = 220.0  # chip_probe: f32 gather payload == dense-read cap
+# persisted hybrid plans (ops/plan_cache.py): cold host builds cost 13-38 s
+# per configuration at the recorded scale; a warm process rebuilds only the
+# on-device dense blocks (VERDICT r3 item 5)
+PLAN_CACHE = ".plan_cache"
 
 
 def log(msg):
@@ -136,7 +140,7 @@ def bench_scale(g, variants):
         updates, opt_state2 = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss
 
-    results, preds = {}, {}
+    results, preds, build_times = {}, {}, {}
     for name, kwargs in variants:
         masked = kwargs.pop("masked_head", False)
         t0 = time.time()
@@ -164,6 +168,7 @@ def bench_scale(g, variants):
             log(f"  {name}: step failed ({type(e).__name__}: {e})")
             continue
         results[name] = dt
+        build_times[name] = build_s
         # hard per-SpMM-equivalent floor of the variant's decomposition
         # (hybrid plans carry it; the masked step runs 2 full + 2 restricted
         # applications, so its per-application floor is the mean of the two)
@@ -181,7 +186,7 @@ def bench_scale(g, variants):
             f"({4 * g.n_edges / dt / 1e9:.3f} G edge-trav/s; "
             f"plan {build_s:.0f}s; loss {loss:.3f})"
         )
-    return results, preds
+    return results, preds, build_times
 
 
 def main():
@@ -200,20 +205,23 @@ def main():
         variants = [
             ("segment f32", dict()),
             ("pallas f32", dict(use_pallas=True)),
-            ("hybrid f32", dict(hybrid_k="auto")),
-            ("hybrid f32 masked-head", dict(hybrid_k="auto", masked_head=True)),
-            ("hybrid bf16", dict(hybrid_k="auto", pallas_dtype="bfloat16")),
+            ("hybrid f32", dict(hybrid_k="auto", plan_cache=PLAN_CACHE)),
+            ("hybrid f32 masked-head",
+             dict(hybrid_k="auto", plan_cache=PLAN_CACHE, masked_head=True)),
+            ("hybrid bf16", dict(hybrid_k="auto", plan_cache=PLAN_CACHE,
+                                 pallas_dtype="bfloat16")),
             ("hybrid bf16 masked-head",
-             dict(hybrid_k="auto", pallas_dtype="bfloat16", masked_head=True)),
+             dict(hybrid_k="auto", plan_cache=PLAN_CACHE,
+                  pallas_dtype="bfloat16", masked_head=True)),
         ]
         if n_docs != scales[0]:
             variants = [v for v in variants if v[0] != "pallas f32"]
-        res, preds = bench_scale(g, variants)
-        all_results[n_docs] = (g, res, preds)
+        res, preds, builds = bench_scale(g, variants)
+        all_results[n_docs] = (g, res, preds, builds)
 
     # headline: fastest parity-exact (f32) path at the largest scale
     n_docs = scales[-1]
-    g, res, preds = all_results[n_docs]
+    g, res, preds, builds = all_results[n_docs]
     seg_dt = res.get("segment f32")
     # every f32 variant (including the segment baseline) is parity-exact;
     # if all f32 candidates failed, fall back to whatever ran — the
@@ -224,6 +232,15 @@ def main():
         log("all variants failed — no benchmark result")
         sys.exit(1)
     best_name, best_dt = min(candidates.items(), key=lambda kv: kv[1])
+    # headline honesty (VERDICT r3 item 9): the masked-head step computes
+    # strictly less (logits at train rows only), so it only headlines when
+    # its gain over the full step is material (>=10%) at this scale —
+    # otherwise the headline is the step every user of the full protocol
+    # gets, and the masked-head gain stays visible in masked_head_speedup
+    if best_name.endswith("masked-head"):
+        full_name = best_name.replace(" masked-head", "")
+        if full_name in res and res[full_name] / best_dt < 1.10:
+            best_name, best_dt = full_name, res[full_name]
     traversals = 4 * g.n_edges
     value = traversals / best_dt
     # roofline: ideal streaming traffic of the step's 4 SpMMs at the
@@ -269,6 +286,10 @@ def main():
                 2 * pr.hybrid_floor_ns(plan, N_HIDDEN)
                 + 2 * pr.hybrid_floor_ns(plan, N_CLASSES)
             ) * 1e-9
+            # a floor above the measured step is not a floor (VERDICT r3
+            # Weak #1): flag it loudly instead of reporting a >1 fraction
+            # as if it meant something
+            floor_ok = floor_probed_s <= res[frac_name] * 1.02
             probe_fields = {
                 "probed_gather_ns": round(pr.gather_ns, 3),
                 "probed_hbm_bps": round(pr.hbm_bps, 1),
@@ -278,6 +299,7 @@ def main():
                 "fraction_of_achievable_probed": round(
                     floor_probed_s / res[frac_name], 4
                 ),
+                "floor_check": "ok" if floor_ok else "VIOLATED",
             }
             log(
                 f"probe: gather {pr.gather_ns:.2f} ns/row, stream "
@@ -287,8 +309,33 @@ def main():
                 f"{floor_probed_s * 1e3:.1f} ms vs step "
                 f"{res[frac_name] * 1e3:.1f} ms"
             )
+            if not floor_ok:
+                log(
+                    "WARNING: probed floor EXCEEDS the measured step — the "
+                    "probe under-measured this chip's ceilings; treat "
+                    "fraction_of_achievable_probed as unreliable this run"
+                )
         except Exception as e:  # probes must never sink the benchmark
             log(f"chip probe failed ({type(e).__name__}: {e})")
+    # warm plan load (VERDICT r3 item 5): the cold build above persisted the
+    # plan; a fresh NormAdj.from_graph now re-derives normalization, hits
+    # the fingerprint, and rebuilds only the on-device dense blocks
+    plan_fields = {}
+    if frac_name in builds:
+        try:
+            from pytextgcn_tpu.ops import NormAdj
+
+            t0 = time.time()
+            NormAdj.from_graph(g, hybrid_k="auto", plan_cache=PLAN_CACHE)
+            warm_s = time.time() - t0
+            plan_fields = {
+                "plan_cold_s": round(builds[frac_name], 1),
+                "plan_warm_s": round(warm_s, 1),
+            }
+            log(f"plan cache at E={g.n_edges}: cold {builds[frac_name]:.0f}s, "
+                f"warm {warm_s:.1f}s")
+        except Exception as e:
+            log(f"warm plan load failed ({type(e).__name__}: {e})")
     best_k = preds.get(best_name, (None, None))[1]
     masked_speedup = (
         round(res["hybrid f32"] / res["hybrid f32 masked-head"], 3)
@@ -311,6 +358,7 @@ def main():
         "fraction_of_roofline": round(fraction, 4),
         "fraction_of_achievable": fraction_of_achievable,
         **probe_fields,
+        **plan_fields,
         "masked_head_speedup": masked_speedup,
         "hybrid_k": best_k,
         "x_of_gather_floor": round(x_of_gather_floor, 3),

@@ -1,0 +1,117 @@
+"""Proxy calibration of the per-label-over-flat gain (VERDICT r3 item 3).
+
+The reference's flagship result is per-label 0.718 vs flat 0.599
+(results.csv:2,14-16) — a +11.9-point gain that exists because
+eval_perlabel.py:73 routes test docs by GROUND-TRUTH Cat1, so the per-label
+ensemble never pays the parent-inference error the flat classifier does.
+Structurally:
+
+    flat      ~= P(parent inferred right) * P(leaf right | parent right)
+    per-label ~= P(leaf right | parent GIVEN)        (GT routing)
+
+so hitting (0.599, 0.718) simultaneously needs parent inference ~0.83 and
+within-parent separability ~0.72 — two independent dials. The r3 corpus had
+parent inference ~0.95 (parent-pool tokens dominate the signal), capping
+the gain at +2.6.
+
+This driver estimates the triple (flat, parent, per-label-GT) with FAST
+linear classifiers on TF-IDF — one config in ~1 minute on CPU vs ~10 min
+of chip time for the real GCN protocol — to bracket the
+(leaf_alias, mix) region; the real chip runs then confirm the final
+setting. The proxy only has to RANK configurations; absolute GCN numbers
+come from experiments/calibrate_difficulty.py + protocol_parity.py.
+
+    python experiments/calibrate_perlabel_gain.py --n-docs 20000 \
+        --set leaf_alias=0.5 "mix=(0.74,0.08,0.18)"
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pytextgcn_tpu.data.synthetic import protocol_corpus
+
+
+def _clf():
+    from sklearn.linear_model import SGDClassifier
+
+    return SGDClassifier(loss="log_loss", alpha=1e-6, max_iter=12, tol=None,
+                         random_state=0)
+
+
+def run(n_docs: int, seed: int, overrides: dict, protocol: str = "amazon"):
+    from sklearn.feature_extraction.text import TfidfVectorizer
+    from sklearn.metrics import accuracy_score
+
+    t0 = time.time()
+    docs, level_labels, n_train, _ = protocol_corpus(
+        protocol, n_docs=n_docs, seed=seed, **overrides
+    )
+    y_leaf = np.asarray(level_labels[-1])
+    y_par = np.asarray(level_labels[-2])
+    vec = TfidfVectorizer(min_df=5, max_df=0.7, token_pattern=r"\w+")
+    X = vec.fit_transform(docs)
+    Xtr, Xte = X[:n_train], X[n_train:]
+    ytr_l, yte_l = y_leaf[:n_train], y_leaf[n_train:]
+    ytr_p, yte_p = y_par[:n_train], y_par[n_train:]
+
+    flat = _clf().fit(Xtr, ytr_l)
+    flat_acc = accuracy_score(yte_l, flat.predict(Xte))
+    par = _clf().fit(Xtr, ytr_p)
+    parent_acc = accuracy_score(yte_p, par.predict(Xte))
+
+    # GT-routed per-label proxy: one leaf classifier per parent, test docs
+    # routed by TRUE parent (the eval_perlabel.py:73 quirk)
+    hit = tot = 0
+    for p_id in np.unique(y_par):
+        tr_m = ytr_p == p_id
+        te_m = yte_p == p_id
+        if not te_m.any():
+            continue
+        classes = np.unique(ytr_l[tr_m])
+        if len(classes) == 1:
+            pred = np.full(int(te_m.sum()), classes[0])
+        else:
+            m = _clf().fit(Xtr[tr_m], ytr_l[tr_m])
+            pred = m.predict(Xte[te_m])
+        hit += int((pred == yte_l[te_m]).sum())
+        tot += int(te_m.sum())
+    perlabel_acc = hit / max(tot, 1)
+
+    rec = {
+        "n_docs": n_docs, "seed": seed,
+        "overrides": {k: repr(v) for k, v in overrides.items()},
+        "flat": round(flat_acc, 4), "parent": round(parent_acc, 4),
+        "perlabel_gt": round(perlabel_acc, 4),
+        "gain": round(perlabel_acc - flat_acc, 4),
+        "factored": round(parent_acc * perlabel_acc, 4),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--n-docs", type=int, default=20_000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL")
+    args = ap.parse_args(argv)
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        overrides[k] = ast.literal_eval(v)
+    return run(args.n_docs, args.seed, overrides)
+
+
+if __name__ == "__main__":
+    main()

@@ -109,7 +109,8 @@ def run_hierarchy(args, p, g, level_labels, n_train, n_val, n_classes):
         "auto" if args.hybrid_k == "auto" else int(args.hybrid_k)
     )
     tkw = {"use_pallas": args.use_pallas, "hybrid_k": hk,
-           "pallas_dtype": args.pallas_dtype}
+           "pallas_dtype": args.pallas_dtype,
+           "plan_cache": args.plan_cache or None}
     hier_name = "per-level" if args.hierarchy == "perlevel" else "per-label"
     rows = []
     for seed in args.seeds:
@@ -259,6 +260,12 @@ def main(argv=None):
         "parameter trajectory as sequential (tests/test_perlabel_ep.py).",
     )
     ap.add_argument("--use-pallas", action="store_true")
+    ap.add_argument(
+        "--plan-cache", default=".plan_cache",
+        help="directory for persisted hybrid plans (ops/plan_cache.py; '' "
+        "disables) — multi-configuration protocol sweeps over the same "
+        "corpus skip the 13-38 s host plan build after the first run",
+    )
     ap.add_argument("--hybrid-k", default="off",
                     help="'off' | 'auto' | int — SpMM decomposition for the JAX side")
     ap.add_argument(
@@ -308,6 +315,7 @@ def main(argv=None):
             )
             tr = Trainer(model, lr=p["lr"], seed=seed, use_pallas=args.use_pallas,
                          hybrid_k=hk, pallas_dtype=args.pallas_dtype,
+                         plan_cache=args.plan_cache or None,
                          step_cache=step_cache,
                          optimizer=None if args.jax_optimizer == "default"
                          else args.jax_optimizer)

@@ -144,6 +144,7 @@ def protocol_corpus(protocol: str = "amazon", n_docs: int = 50_000, seed: int = 
             # tilt 1.10 -> 0.556, 1.18 -> 0.579, 1.24 -> 0.606, 1.32 ->
             # 0.628; reference band 0.599 (results.csv:2,6,7)
             leaf_tilt=1.24, leaf_vocab_size=0, label_noise=0.0,
+            leaf_alias=0.0, alias_tilt=None,
         )
     elif protocol == "dbpedia":
         cfg = dict(
@@ -156,6 +157,7 @@ def protocol_corpus(protocol: str = "amazon", n_docs: int = 50_000, seed: int = 
             log_len=3.6, sig_len=0.35, min_len=10, max_len=120,
             train_frac=0.75, val_frac=0.10,
             leaf_tilt=1.15, leaf_vocab_size=10, label_noise=0.04,
+            leaf_alias=0.0, alias_tilt=None,
         )
     else:
         raise ValueError(f"unknown protocol {protocol!r}")
@@ -217,6 +219,37 @@ def protocol_corpus(protocol: str = "amazon", n_docs: int = 50_000, seed: int = 
         ]
         leaf_vocab_p = _zipf_probs(leaf_vocab_size, 1.1)
 
+    # cross-parent leaf aliasing (the per-label-gain dial, VERDICT r3 item
+    # 3). The reference's flagship row — per-label 0.718 vs flat 0.599
+    # (results.csv:2,14-16) — exists because eval_perlabel.py:73 routes by
+    # GROUND-TRUTH Cat1: the +11.9-point gain is exactly the parent-
+    # inference error flat pays and GT routing doesn't. Reproducing that
+    # structure needs leaf evidence that separates siblings WITHIN a parent
+    # while confusing leaves ACROSS parents: with probability
+    # ``leaf_alias``, a leaf-topic token is drawn from an alias pool
+    # indexed by the leaf's within-parent RANK, under one shared
+    # distribution per rank — so same-rank leaves of different parents are
+    # word-for-word indistinguishable on these tokens (zero parent signal),
+    # while siblings (distinct ranks → disjoint pools) separate cleanly.
+    leaf_alias = float(cfg["leaf_alias"])
+    alias_tilt = cfg["alias_tilt"]
+    rank_within = np.zeros(n_leaf, np.int64)
+    for p_id in range(levels[-2]):
+        members = np.flatnonzero(leaf_parent == p_id)
+        rank_within[members] = np.arange(len(members))
+    if leaf_alias > 0.0:
+        n_ranks = int(rank_within.max()) + 1
+        alias_words = np.array([f"alw{j:03d}" for j in range(pool_size)])
+        # ONE shared alias vocabulary; each within-parent rank gets its own
+        # tilted frequency profile over it (like leaf_dists, but indexed by
+        # rank) — sibling discrimination stays frequency-profile-hard
+        # (dialed by alias_tilt), cross-parent same-rank leaves identical
+        tilt = leaf_tilt if alias_tilt is None else float(alias_tilt)
+        rank_dists = []
+        for _ in range(n_ranks):
+            w = child_p * np.exp(tilt * rng.standard_normal(pool_size))
+            rank_dists.append(np.cumsum(w / w.sum()))
+
     # class priors: uneven, like real category data
     leaf_prior = rng.dirichlet(np.full(n_leaf, 3.0))
 
@@ -258,6 +291,22 @@ def protocol_corpus(protocol: str = "amazon", n_docs: int = 50_000, seed: int = 
             if leaf_vocab_size > 0:
                 idx = np.searchsorted(leaf_cum, rng.random(int(m.sum())))
                 words[m] = leaf_vocab[leaf][idx.clip(0, len(leaf_vocab_p) - 1)]
+            elif leaf_alias > 0.0:
+                mi = np.flatnonzero(m)
+                take_alias = rng.random(len(mi)) < leaf_alias
+                ai = mi[take_alias]
+                if len(ai):
+                    # rank-indexed profile over the SHARED alias pool:
+                    # same-rank leaves across parents draw identically —
+                    # no parent signal in these tokens
+                    dist = rank_dists[int(rank_within[leaf])]
+                    idx = np.searchsorted(dist, rng.random(len(ai)))
+                    words[ai] = alias_words[idx.clip(0, pool_size - 1)]
+                pi = mi[~take_alias]
+                if len(pi):
+                    pool = pools[-1][int(leaf_parent[leaf])]
+                    idx = np.searchsorted(leaf_dists[leaf], rng.random(len(pi)))
+                    words[pi] = pool[idx.clip(0, pool_size - 1)]
             else:
                 pool = pools[-1][int(leaf_parent[leaf])]
                 idx = np.searchsorted(leaf_dists[leaf], rng.random(int(m.sum())))

@@ -10,11 +10,48 @@ from pytextgcn_tpu.ops.probe import ChipProbe, probe_chip
 
 
 def test_probe_chip_runs():
-    pr = probe_chip(reps=1)
+    pr = probe_chip(reps=1, e=100_000, nk=4_096)
     assert pr.gather_ns > 0
     assert pr.hbm_bps > 0
     assert pr.mxu_f32_fps > 0 and pr.mxu_bf16_fps > 0
     assert pr.probe_s > 0
+
+
+def test_slope_time_cancels_constant_overhead():
+    # the r3 probe's defect: ~10 ms of relay dispatch per timed call
+    # inflated per-iteration times by 25-34%. slope_time subtracts two
+    # chain lengths, so any constant per-call cost drops out exactly —
+    # pinned here on synthetic clocks (no sleeping, no flakiness).
+    from pytextgcn_tpu.ops import probe
+
+    per_iter, overhead = 1e-3, 50e-3  # heavy constant overhead
+    calls = []
+
+    def make_fn(length):
+        def fn():
+            calls.append(length)
+            return np.ones((2, 2))
+
+        return fn, ()
+
+    ticks = iter(np.cumsum([0.0] + [overhead + 8 * per_iter,
+                                    overhead + 8 * per_iter,
+                                    overhead + 40 * per_iter,
+                                    overhead + 40 * per_iter]).tolist())
+
+    class FakeTime:  # swaps only probe.py's module-level `time` binding
+        time = staticmethod(lambda: next(ticks))
+
+    orig = probe.time
+    probe.time = FakeTime
+    try:
+        got = probe.slope_time(make_fn, reps=1)
+    finally:
+        probe.time = orig
+    # naive per-call/8 timing would give 7.25 ms/iter; the slope recovers
+    # the true 1 ms exactly
+    np.testing.assert_allclose(got, per_iter, rtol=1e-9)
+    assert calls == [8, 8, 40, 40]  # warmup + 1 rep per length
 
 
 def test_floor_formula_matches_hybrid_constants():
