@@ -63,15 +63,31 @@ def _tree_diff(a, b):
     return mx, float(np.sqrt(num / den))
 
 
+def _make_model(name, in_dim, n_classes, n_hidden, dropout):
+    if name == "egcn":
+        from pytextgcn_tpu.models import EGCN
+
+        return EGCN(in_dim, n_classes, embedding_dim=2000,
+                    n_hidden_gcn=n_hidden, dropout=dropout)
+    if name == "jk":
+        from pytextgcn_tpu.models import JumpingKnowledgeNetwork
+
+        return JumpingKnowledgeNetwork(in_dim, n_classes,
+                                       n_hidden_gcn=n_hidden, dropout=dropout)
+    return GCN(in_dim, n_classes, n_hidden_gcn=n_hidden, dropout=dropout)
+
+
 def jax_trajectory(g, init_params, n_classes, *, epochs, lr, optimizer,
-                   dropout, n_hidden, seed, snapshot_epochs):
-    """Train the JAX GCN from ``init_params``; return snapshots + metrics.
+                   dropout, n_hidden, seed, snapshot_epochs, model_name="gcn"):
+    """Train the JAX model from ``init_params``; return snapshots + metrics.
 
     dropout=0 runs the deterministic forward (`train=False` — identical
     math when no dropout exists, and rng-free); dropout>0 mirrors
-    Trainer.fit's rng discipline (fold_in per epoch).
+    Trainer.fit's rng discipline (fold_in per epoch). ``model_name``
+    extends the ladder to EGCN and JK (VERDICT r3 items 4/7: GCN-only
+    trajectory pins left those families forward-only).
     """
-    model = GCN(g.in_dim, n_classes, n_hidden_gcn=n_hidden, dropout=dropout)
+    model = _make_model(model_name, g.in_dim, n_classes, n_hidden, dropout)
     adj = NormAdj.from_graph(g)
     feats = NodeFeatures.from_graph(g)
     y = jnp.asarray(np.asarray(g.y))
@@ -120,6 +136,10 @@ def jax_trajectory(g, init_params, n_classes, *, epochs, lr, optimizer,
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--protocol", choices=list(PROTOCOLS), default="amazon")
+    ap.add_argument("--model", choices=["gcn", "egcn", "jk"], default="gcn",
+                    help="run the ladder for any model family (VERDICT r3 "
+                    "item 4: EGCN's trajectory was never pinned the way "
+                    "GCN's was; item 7 extends the pin to JK)")
     ap.add_argument("--n-docs", type=int, default=8000)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--epochs", type=int, default=0,
@@ -147,7 +167,7 @@ def main(argv=None):
     res_t = train_torch_reference(
         gs, n_classes, epochs=traj_epochs, lr=p["lr"], dropout=0.0,
         n_hidden=p["n_hidden"], seed=args.seed, return_init=True,
-        snapshot_epochs=snap,
+        snapshot_epochs=snap, model=args.model,
     )
     init = res_t["init"]
 
@@ -156,14 +176,15 @@ def main(argv=None):
         snaps, metrics = jax_trajectory(
             gs, init, n_classes, epochs=traj_epochs, lr=p["lr"],
             optimizer=opt_name, dropout=0.0, n_hidden=p["n_hidden"],
-            seed=args.seed, snapshot_epochs=snap,
+            seed=args.seed, snapshot_epochs=snap, model_name=args.model,
         )
         diffs = {}
         for e in snap:
             mx, rms = _tree_diff(snaps[e], res_t["snapshots"][e])
             diffs[e] = {"max_abs": mx, "rms": rms}
         rec = {
-            "stage": stage, "jax_optimizer": opt_name, "dropout": 0.0,
+            "stage": stage, "model": args.model,
+            "jax_optimizer": opt_name, "dropout": 0.0,
             "trajectory_diff_vs_torch": diffs,
             "jax": metrics,
             "torch": {"accuracy": res_t["accuracy"],
@@ -177,9 +198,10 @@ def main(argv=None):
         res_tc = train_torch_reference(
             gs, n_classes, epochs=proto_epochs, lr=p["lr"],
             dropout=p["dropout"], n_hidden=p["n_hidden"], seed=args.seed,
-            init_params=init,
+            init_params=init, model=args.model,
         )
-        rec = {"stage": "C", "dropout": p["dropout"], "epochs": proto_epochs,
+        rec = {"stage": "C", "model": args.model,
+               "dropout": p["dropout"], "epochs": proto_epochs,
                "shared_init": "torch", "torch": {
                    "accuracy": res_tc["accuracy"],
                    "f1_macro": res_tc["f1_macro"]}}
@@ -188,6 +210,7 @@ def main(argv=None):
                 gs, init, n_classes, epochs=proto_epochs, lr=p["lr"],
                 optimizer=opt_name, dropout=p["dropout"],
                 n_hidden=p["n_hidden"], seed=args.seed, snapshot_epochs=[],
+                model_name=args.model,
             )
             rec[f"jax_{opt_name}_amsgrad"] = metrics
         out["C"] = rec

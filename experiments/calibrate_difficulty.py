@@ -34,7 +34,8 @@ from pytextgcn_tpu.train import Trainer
 
 
 def run(protocol: str, n_docs: int, seed: int, overrides: dict,
-        epochs: int = 0, verbose: int = 0):
+        epochs: int = 0, verbose: int = 0, hybrid_k=None,
+        pallas_dtype: str = "float32"):
     p = PROTOCOLS[protocol]
     t0 = time.time()
     docs, level_labels, n_train, n_val = protocol_corpus(
@@ -52,7 +53,8 @@ def run(protocol: str, n_docs: int, seed: int, overrides: dict,
     n_classes = int(y.max()) + 1
     model = GCN(gs.in_dim, n_classes, n_hidden_gcn=p["n_hidden"],
                 dropout=p["dropout"])
-    tr = Trainer(model, lr=p["lr"], seed=seed)
+    tr = Trainer(model, lr=p["lr"], seed=seed, hybrid_k=hybrid_k,
+                 pallas_dtype=pallas_dtype, plan_cache=".plan_cache")
     t0 = time.time()
     tr.fit(gs, epochs=epochs or p["epochs"], n_classes=n_classes,
            verbose=verbose, eval_every=max(1, (epochs or p["epochs"]) // 5))
@@ -77,14 +79,22 @@ def main(argv=None):
     ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL",
                     help="protocol_corpus overrides, e.g. label_noise=0.05")
     ap.add_argument("--verbose", type=int, default=0)
+    ap.add_argument("--hybrid-k", default="off",
+                    help="'off' | 'auto' | int — SpMM decomposition")
+    ap.add_argument("--pallas-dtype", choices=["float32", "bfloat16"],
+                    default="float32")
     args = ap.parse_args(argv)
     overrides = {}
     for kv in args.set:
         k, v = kv.split("=", 1)
         overrides[k] = ast.literal_eval(v)
     n_docs = args.n_docs or (50_000 if args.protocol == "amazon" else 60_000)
+    hk = None if args.hybrid_k in ("off", "none") else (
+        "auto" if args.hybrid_k == "auto" else int(args.hybrid_k)
+    )
     return run(args.protocol, n_docs, args.seed, overrides,
-               epochs=args.epochs, verbose=args.verbose)
+               epochs=args.epochs, verbose=args.verbose, hybrid_k=hk,
+               pallas_dtype=args.pallas_dtype)
 
 
 if __name__ == "__main__":

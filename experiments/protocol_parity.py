@@ -56,9 +56,12 @@ PROTOCOLS = {
 }
 
 
-def build_graph(protocol: str, n_docs: int, verbose: int = 1, hierarchy: str = "flat"):
+def build_graph(protocol: str, n_docs: int, verbose: int = 1,
+                hierarchy: str = "flat", corpus_overrides: dict = None):
     p = PROTOCOLS[protocol]
-    docs, level_labels, n_train, n_val = protocol_corpus(protocol, n_docs=n_docs)
+    docs, level_labels, n_train, n_val = protocol_corpus(
+        protocol, n_docs=n_docs, **(corpus_overrides or {})
+    )
     y = np.asarray(level_labels[-1])
     t0 = time.time()
     t2g = Text2Graph(
@@ -274,6 +277,9 @@ def main(argv=None):
         "~2x faster on chip — this flag exists to validate its accuracy at "
         "protocol scale; params/optimizer stay f32)",
     )
+    ap.add_argument("--corpus-set", nargs="*", default=[], metavar="KEY=VAL",
+                    help="protocol_corpus overrides (calibration sweeps; "
+                    "final protocol runs use the calibrated defaults)")
     ap.add_argument("--verbose", type=int, default=1)
     args = ap.parse_args(argv)
 
@@ -281,8 +287,15 @@ def main(argv=None):
     if args.epochs:
         p["epochs"] = args.epochs
     n_docs = args.n_docs or (50_000 if args.protocol == "amazon" else 60_000)
+    import ast as _ast
+
+    corpus_overrides = {}
+    for kv in args.corpus_set:
+        k, v = kv.split("=", 1)
+        corpus_overrides[k] = _ast.literal_eval(v)
     g, level_labels, n_train, n_val = build_graph(
-        args.protocol, n_docs, args.verbose, hierarchy=args.hierarchy
+        args.protocol, n_docs, args.verbose, hierarchy=args.hierarchy,
+        corpus_overrides=corpus_overrides,
     )
     n_classes = int(np.max(np.asarray(g.y))) + 1
 

@@ -26,3 +26,40 @@ def test_bisect_stages_a_b():
     # construction: both variants coincide at t=1)
     assert b[1]["max_abs"] < 1e-4
     assert b[10]["max_abs"] > 100 * a[10]["max_abs"]
+
+
+def _assert_stage_a_tracks(out):
+    """EGCN/JK trajectory pin (VERDICT r3 items 4/7). Unlike the plain GCN,
+    these families amplify float noise ~3x/epoch (EGCN: lr=0.05 AMSGrad on
+    a 2M-param SELU embedding; JK: BiLSTM gates), so max|Δ| at epoch 10 is
+    dominated by chaotic amplification of the epoch-1 ulp noise, not by any
+    formulation difference. The honest pin is therefore: (a) the first two
+    updates are exact to float noise — backward + optimizer correct; (b)
+    the accumulated RMS stays ~2 orders below the stage-B optimizer-variant
+    divergence; (c) both frameworks land on identical final metrics."""
+    a = out["A"]["trajectory_diff_vs_torch"]
+    b = out["B"]["trajectory_diff_vs_torch"]
+    assert a[1]["max_abs"] < 5e-4, a
+    assert a[2]["max_abs"] < 2e-3, a
+    assert b[10]["rms"] > 50 * a[10]["rms"], (a, b)
+    assert out["A"]["jax"]["accuracy"] == out["A"]["torch"]["accuracy"]
+
+
+def test_bisect_stage_a_egcn():
+    import bisect_offset
+
+    out = bisect_offset.main([
+        "--protocol", "amazon", "--model", "egcn", "--n-docs", "300",
+        "--epochs", "10", "--skip-c", "--verbose", "0",
+    ])
+    _assert_stage_a_tracks(out)
+
+
+def test_bisect_stage_a_jk():
+    import bisect_offset
+
+    out = bisect_offset.main([
+        "--protocol", "amazon", "--model", "jk", "--n-docs", "300",
+        "--epochs", "10", "--skip-c", "--verbose", "0",
+    ])
+    _assert_stage_a_tracks(out)
