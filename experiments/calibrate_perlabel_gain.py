@@ -64,8 +64,12 @@ def run(n_docs: int, seed: int, overrides: dict, protocol: str = "amazon"):
     ytr_l, yte_l = y_leaf[:n_train], y_leaf[n_train:]
     ytr_p, yte_p = y_par[:n_train], y_par[n_train:]
 
+    from sklearn.metrics import f1_score
+
     flat = _clf().fit(Xtr, ytr_l)
-    flat_acc = accuracy_score(yte_l, flat.predict(Xte))
+    pred_flat = flat.predict(Xte)
+    flat_acc = accuracy_score(yte_l, pred_flat)
+    flat_f1 = f1_score(yte_l, pred_flat, average="macro")
     par = _clf().fit(Xtr, ytr_p)
     parent_acc = accuracy_score(yte_p, par.predict(Xte))
 
@@ -90,7 +94,8 @@ def run(n_docs: int, seed: int, overrides: dict, protocol: str = "amazon"):
     rec = {
         "n_docs": n_docs, "seed": seed,
         "overrides": {k: repr(v) for k, v in overrides.items()},
-        "flat": round(flat_acc, 4), "parent": round(parent_acc, 4),
+        "flat": round(flat_acc, 4), "flat_f1": round(flat_f1, 4),
+        "parent": round(parent_acc, 4),
         "perlabel_gt": round(perlabel_acc, 4),
         "gain": round(perlabel_acc - flat_acc, 4),
         "factored": round(parent_acc * perlabel_acc, 4),

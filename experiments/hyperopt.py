@@ -42,7 +42,7 @@ def kfold_indices(n: int, k: int, rng: np.random.Generator):
 
 
 def _cv_f1(g, y_nodes, doc_nodes, folds, model_name, n_classes, n_hidden,
-           dropout, lr, epochs, seed, step_cache):
+           dropout, lr, epochs, seed, step_cache, hybrid_k=None):
     """Mean/std val macro-F1 of one grid config over the folds (masks
     rewritten per fold exactly like old/h_o_train.py:81-87). ``step_cache``
     shares jitted steps across same-shaped configs — the k folds of a
@@ -63,7 +63,8 @@ def _cv_f1(g, y_nodes, doc_nodes, folds, model_name, n_classes, n_hidden,
         # the reference's hyperopt drivers train with plain Adam, not the
         # flat drivers' amsgrad variant (old/h_o_train.py:98)
         trainer = Trainer(model, lr=lr, seed=seed, step_cache=step_cache,
-                          optimizer="adam")
+                          optimizer="adam", hybrid_k=hybrid_k,
+                          plan_cache=".plan_cache" if hybrid_k else None)
         trainer.fit(g_fold, epochs=epochs, n_classes=n_classes, verbose=0)
         m = trainer.evaluate(g_fold, mask=val_mask, n_classes=n_classes)
         scores.append(m["f1_macro"])
@@ -86,6 +87,10 @@ def main(argv=None):
         "column in the CSV)",
     )
     p.add_argument("--data-dir", default=None)
+    p.add_argument("--n-docs", type=int, default=0,
+                   help="synthetic corpus size (0 = dataset default) — the "
+                   "reduced-scale grid reproduction (VERDICT r3 item 8) "
+                   "uses ~6000 docs")
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--k-split", type=int, default=3)
     p.add_argument("--n-hidden", type=int, default=100)
@@ -94,11 +99,19 @@ def main(argv=None):
     p.add_argument("--dropouts", type=float, nargs="+", default=[0.5, 0.7])
     p.add_argument("--max-dfs", type=float, nargs="+", default=[0.5, 0.6, 0.7])
     p.add_argument("--models", nargs="+", default=["GCN", "EGCN"])
+    p.add_argument("--hybrid-k", default="off",
+                   help="'off' | 'auto' | int — SpMM decomposition for the "
+                   "fold trainers (plans cached per max_df graph)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
+    hybrid_k = None if args.hybrid_k in ("off", "none") else (
+        "auto" if args.hybrid_k == "auto" else int(args.hybrid_k)
+    )
 
     cfg = ExperimentConfig(dataset=args.dataset, labels=args.labels, data_dir=args.data_dir)
     cfg.train.seed = args.seed
+    if args.n_docs:
+        cfg.n_docs = args.n_docs  # honored by load_corpus's synthetic paths
     if args.hierarchy == "flat":
         docs, labels, test_idx, _ = load_corpus(cfg)
         y_parent, y = None, labels[0]
@@ -164,6 +177,7 @@ def main(argv=None):
                             g, y_nodes, doc_nodes, folds, model_name,
                             len(classes), args.n_hidden, dropout, lr,
                             args.epochs, args.seed, step_cache,
+                            hybrid_k=hybrid_k,
                         )
                     except Exception as e:
                         print(f"config failed ({type(e).__name__}: {e}); recording NaN")
@@ -184,7 +198,7 @@ def main(argv=None):
                 mean_f1, std_f1 = _cv_f1(
                     g, np.asarray(g.y), doc_nodes, folds, model_name,
                     n_classes, args.n_hidden, dropout, lr, args.epochs,
-                    args.seed, step_cache,
+                    args.seed, step_cache, hybrid_k=hybrid_k,
                 )
             except Exception as e:  # record failures as NaN like the reference
                 print(f"config failed ({type(e).__name__}: {e}); recording NaN")

@@ -144,7 +144,7 @@ def protocol_corpus(protocol: str = "amazon", n_docs: int = 50_000, seed: int = 
             # tilt 1.10 -> 0.556, 1.18 -> 0.579, 1.24 -> 0.606, 1.32 ->
             # 0.628; reference band 0.599 (results.csv:2,6,7)
             leaf_tilt=1.24, leaf_vocab_size=0, label_noise=0.0,
-            leaf_alias=0.0, alias_tilt=None,
+            leaf_alias=0.0, alias_tilt=None, prior_alpha=3.0,
         )
     elif protocol == "dbpedia":
         cfg = dict(
@@ -157,7 +157,7 @@ def protocol_corpus(protocol: str = "amazon", n_docs: int = 50_000, seed: int = 
             log_len=3.6, sig_len=0.35, min_len=10, max_len=120,
             train_frac=0.75, val_frac=0.10,
             leaf_tilt=1.15, leaf_vocab_size=10, label_noise=0.04,
-            leaf_alias=0.0, alias_tilt=None,
+            leaf_alias=0.0, alias_tilt=None, prior_alpha=3.0,
         )
     else:
         raise ValueError(f"unknown protocol {protocol!r}")
@@ -250,8 +250,11 @@ def protocol_corpus(protocol: str = "amazon", n_docs: int = 50_000, seed: int = 
             w = child_p * np.exp(tilt * rng.standard_normal(pool_size))
             rank_dists.append(np.cumsum(w / w.sum()))
 
-    # class priors: uneven, like real category data
-    leaf_prior = rng.dirichlet(np.full(n_leaf, 3.0))
+    # class priors: uneven, like real category data. Lower ``prior_alpha``
+    # concentrates mass on few leaves — rare-class recall collapses and
+    # macro-F1 drops well below accuracy, the signature of the reference's
+    # published rows (flat 0.599 acc vs 0.424 f1, results.csv:2)
+    leaf_prior = rng.dirichlet(np.full(n_leaf, float(cfg["prior_alpha"])))
 
     # inverse-CDF samplers (rng.choice with p= rebuilds the CDF per call)
     bg_cum = np.cumsum(bg_p)
