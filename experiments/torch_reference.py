@@ -310,9 +310,13 @@ def train_torch_reference(
     pred = with_pred.argmax(1)
     yt = np.asarray(g.y)[test_mask]
     pt = pred[test_mask]
+    # per-label members can have an EMPTY test slice (a parent class with
+    # no test docs at small scale / skewed priors); the composed eval only
+    # uses `predict`, so report NaN member metrics instead of crashing
     out = {
-        "accuracy": float(accuracy_score(yt, pt)),
-        "f1_macro": float(f1_score(yt, pt, average="macro")),
+        "accuracy": float(accuracy_score(yt, pt)) if len(yt) else float("nan"),
+        "f1_macro": (float(f1_score(yt, pt, average="macro"))
+                     if len(yt) else float("nan")),
         "train_seconds": time.time() - t0,
     }
     if return_forward:
