@@ -55,21 +55,25 @@ def main(argv=None):
     x0 = jnp.asarray(rng.standard_normal((g.n_nodes, h)), jnp.float32)
     prec = jax.lax.Precision.HIGHEST
 
-    def chain(body):
-        """slope-timed ms per application of ``body(x) -> x-shaped``."""
+    def chain(body, *ops):
+        """slope-timed ms per application of ``body(x, *ops) -> x-shaped``.
+
+        ``ops`` (plan pytrees / big device arrays) ride as jit ARGUMENTS:
+        closing over them would embed d_full (~677 MB) as a compile-time
+        constant, which the axon remote-compile relay rejects (HTTP 413)."""
 
         def make(length):
             @jax.jit
-            def many(x):
+            def many(x, *ops):
                 def f(x, _):
-                    out = body(x)
+                    out = body(x, *ops)
                     # keep the chain square + data-dependent
                     return (x + 1e-12 * out[:1, :1].sum()).astype(x.dtype), None
 
                 x, _ = jax.lax.scan(f, x, None, length=length)
                 return x
 
-            return many, (x0,)
+            return many, (x0, *ops)
 
         return slope_time(make) * 1e3
 
@@ -85,12 +89,11 @@ def main(argv=None):
             build_s = time.time() - t0
             tag = f"K={plan.k}/{mode}"
 
-            full_ms = chain(lambda x: spmm(adj, x))
+            full_ms = chain(lambda x, adj: spmm(adj, x), adj)
 
-            d_full, a_hh, hot_ids = plan.d_full, plan.a_hh, plan.hot_ids
             n = plan.n_nodes
 
-            def dense_pair(x, d_full=d_full, hot_ids=hot_ids, n=n):
+            def dense_pair(x, d_full, hot_ids, n=n):
                 x_hot = jnp.take(x, hot_ids, axis=0)
                 out = jnp.dot(d_full, x_hot,
                               preferred_element_type=jnp.float32,
@@ -100,13 +103,12 @@ def main(argv=None):
                     preferred_element_type=jnp.float32, precision=prec)
                 return out.at[hot_ids].add(hot_in)
 
-            pair_ms = chain(dense_pair)
+            pair_ms = chain(dense_pair, plan.d_full, plan.hot_ids)
 
-            def resid_only(x, plan=plan):
+            def resid_only(x, plan):
                 out = jnp.zeros_like(x)
                 if plan.res_fwd is not None:
-                    from pytextgcn_tpu.ops.spmm_pallas import (
-                        _spmm_pallas, _use_interpret)
+                    from pytextgcn_tpu.ops.spmm_pallas import _spmm_pallas
 
                     out = out + _spmm_pallas(x, plan.res_fwd, plan.res_bwd,
                                              jnp.float32)
@@ -117,7 +119,7 @@ def main(argv=None):
                         contrib, plan.seg_dst, num_segments=plan.n_nodes)
                 return out
 
-            resid_ms = chain(resid_only)
+            resid_ms = chain(resid_only, plan)
             results[tag] = {
                 "full_ms": round(full_ms, 3),
                 "dense_pair_ms": round(pair_ms, 3),

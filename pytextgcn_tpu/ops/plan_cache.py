@@ -24,7 +24,9 @@ from typing import Optional
 
 import numpy as np
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: TilePlan geometry (row_block/edge_tile) + f32_mode
+
+_F32_MODES = ("highest", "split2")
 
 
 def graph_fingerprint(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
@@ -59,7 +61,8 @@ def _tile_fields(tp, prefix: str) -> dict:
         f"{prefix}_visited": np.asarray(tp.visited),
         f"{prefix}_meta": np.asarray(
             [tp.n_rows_padded, tp.n_rows, tp.n_tiles, tp.n_chunks,
-             tp.tiles_per_chunk], np.int64
+             tp.tiles_per_chunk, tp.row_block, tp.edge_tile,
+             _F32_MODES.index(tp.f32_mode)], np.int64
         ),
     }
 
@@ -80,6 +83,8 @@ def _tile_from(z, prefix: str):
         visited=jnp.asarray(z[f"{prefix}_visited"]),
         n_rows_padded=int(meta[0]), n_rows=int(meta[1]), n_tiles=int(meta[2]),
         n_chunks=int(meta[3]), tiles_per_chunk=int(meta[4]),
+        row_block=int(meta[5]), edge_tile=int(meta[6]),
+        f32_mode=_F32_MODES[int(meta[7])],
     )
 
 

@@ -45,7 +45,8 @@ def _use_interpret() -> bool:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["src", "w", "rel", "block_idx", "visited"],
-    meta_fields=["n_rows_padded", "n_rows", "n_tiles", "n_chunks", "tiles_per_chunk"],
+    meta_fields=["n_rows_padded", "n_rows", "n_tiles", "n_chunks",
+                 "tiles_per_chunk", "row_block", "edge_tile", "f32_mode"],
 )
 @dataclasses.dataclass
 class TilePlan:
@@ -57,11 +58,21 @@ class TilePlan:
     graphs beyond a few million edges. ``visited[k, b]`` marks which output
     blocks chunk k touches (its kernel output is garbage elsewhere and gets
     masked before accumulation).
+
+    ``row_block``/``edge_tile`` are the tile geometry this plan was built
+    for: each slot costs ``passes * 2 * row_block * h_pad`` MXU flops, so
+    smaller row blocks make the one-hot matmul proportionally cheaper at
+    the price of more per-block padding (min one tile per visited block).
+    ``f32_mode`` selects the float32 MXU strategy — 'highest' (XLA
+    3-bf16-pass product, the exact-parity default) or 'split2' (gathered
+    rows split hi/lo into two exact-one-hot bf16 passes; ~2/3 the MXU time
+    at ~2^-18 relative representation error, chip-validated in
+    experiments/probe_resid_kernel.py).
     """
 
-    src: jax.Array  # int32 [K, C, EDGE_TILE] source node per slot (0 on pads)
-    w: jax.Array  # float32 [K, C, EDGE_TILE] weight (0 on pads)
-    rel: jax.Array  # int32 [K, C, EDGE_TILE] dst - block_start (0 on pads)
+    src: jax.Array  # int32 [K, C, edge_tile] source node per slot (0 on pads)
+    w: jax.Array  # float32 [K, C, edge_tile] weight (0 on pads)
+    rel: jax.Array  # int32 [K, C, edge_tile] dst - block_start (0 on pads)
     block_idx: jax.Array  # int32 [K, C] output block per tile (nondecreasing)
     visited: jax.Array  # bool [K, n_blocks] blocks touched by each chunk
     n_rows_padded: int
@@ -69,6 +80,9 @@ class TilePlan:
     n_tiles: int
     n_chunks: int
     tiles_per_chunk: int
+    row_block: int = ROW_BLOCK
+    edge_tile: int = EDGE_TILE
+    f32_mode: str = "highest"
 
 
 @partial(
@@ -85,22 +99,24 @@ class SpmmPlan:
     compute_dtype: str = "float32"  # 'float32' (parity) | 'bfloat16' (fast)
 
 
-def count_tiles(dst, n_nodes: int) -> int:
+def count_tiles(dst, n_nodes: int, row_block: int = ROW_BLOCK,
+                edge_tile: int = EDGE_TILE) -> int:
     """Tile count a plan for these destinations will have (for cross-shard
     shape alignment)."""
-    n_rows_padded = max(ROW_BLOCK, int(-(-n_nodes // ROW_BLOCK)) * ROW_BLOCK)
+    n_rows_padded = max(row_block, int(-(-n_nodes // row_block)) * row_block)
     counts = np.bincount(
-        np.asarray(dst, np.int64) // ROW_BLOCK, minlength=n_rows_padded // ROW_BLOCK
+        np.asarray(dst, np.int64) // row_block, minlength=n_rows_padded // row_block
     )
-    return int(np.maximum(-(-counts // EDGE_TILE), 1).sum())
+    return int(np.maximum(-(-counts // edge_tile), 1).sum())
 
 
 def _build_tile_plan(
     src, dst, w, n_nodes: int, max_chunk_tiles: int = 4096, pad_tiles_to: int = 0,
-    device: bool = True,
+    device: bool = True, row_block: int = ROW_BLOCK, edge_tile: int = EDGE_TILE,
+    f32_mode: str = "highest",
 ) -> TilePlan:
     """Host-side tiling: sort by dst, cut tiles at block boundaries and at
-    EDGE_TILE occupancy, pad tiles with zero-weight edges, group into
+    edge_tile occupancy, pad tiles with zero-weight edges, group into
     evenly-sized chunks of at most ``max_chunk_tiles`` tiles (~2 GB of
     gathered rows at H=128 f32). Small graphs stay single-chunk — each scan
     iteration carries fixed overhead, so splitting is only worth it once the
@@ -111,30 +127,30 @@ def _build_tile_plan(
     order = np.argsort(dst, kind="stable")
     src, dst, w = src[order], dst[order], w[order]
 
-    n_rows_padded = max(ROW_BLOCK, int(-(-n_nodes // ROW_BLOCK)) * ROW_BLOCK)
-    block = dst // ROW_BLOCK
+    n_rows_padded = max(row_block, int(-(-n_nodes // row_block)) * row_block)
+    block = dst // row_block
     # tiles per block
-    n_blocks = n_rows_padded // ROW_BLOCK
+    n_blocks = n_rows_padded // row_block
     counts = np.bincount(block, minlength=n_blocks)
     # every block needs >= 1 tile: an unvisited output block would keep
     # whatever garbage its buffer held (NaNs included) — a zero-weight dummy
     # tile zero-initializes it
-    tiles_per_block = np.maximum(-(-counts // EDGE_TILE), 1)
+    tiles_per_block = np.maximum(-(-counts // edge_tile), 1)
     tile_base = np.concatenate([[0], np.cumsum(tiles_per_block)])
     n_tiles = int(tile_base[-1])
 
     # position of each edge within its block
     block_start_edge = np.concatenate([[0], np.cumsum(counts)])
     pos_in_block = np.arange(dst.shape[0]) - block_start_edge[block]
-    tile_of_edge = tile_base[block] + pos_in_block // EDGE_TILE
-    slot_of_edge = pos_in_block % EDGE_TILE
+    tile_of_edge = tile_base[block] + pos_in_block // edge_tile
+    slot_of_edge = pos_in_block % edge_tile
 
-    src_t = np.zeros((n_tiles, EDGE_TILE), np.int32)
-    w_t = np.zeros((n_tiles, EDGE_TILE), np.float32)
-    rel_t = np.zeros((n_tiles, EDGE_TILE), np.int32)
+    src_t = np.zeros((n_tiles, edge_tile), np.int32)
+    w_t = np.zeros((n_tiles, edge_tile), np.float32)
+    rel_t = np.zeros((n_tiles, edge_tile), np.int32)
     src_t[tile_of_edge, slot_of_edge] = src
     w_t[tile_of_edge, slot_of_edge] = w
-    rel_t[tile_of_edge, slot_of_edge] = dst % ROW_BLOCK
+    rel_t[tile_of_edge, slot_of_edge] = dst % row_block
 
     block_of_tile = np.repeat(
         np.arange(n_blocks, dtype=np.int32), tiles_per_block
@@ -144,9 +160,9 @@ def _build_tile_plan(
         # tile's block with w=0 (consecutive, so no spurious first-visit
         # zeroing; contribution is exactly zero)
         pad = pad_tiles_to - n_tiles
-        src_t = np.concatenate([src_t, np.zeros((pad, EDGE_TILE), np.int32)])
-        w_t = np.concatenate([w_t, np.zeros((pad, EDGE_TILE), np.float32)])
-        rel_t = np.concatenate([rel_t, np.zeros((pad, EDGE_TILE), np.int32)])
+        src_t = np.concatenate([src_t, np.zeros((pad, edge_tile), np.int32)])
+        w_t = np.concatenate([w_t, np.zeros((pad, edge_tile), np.float32)])
+        rel_t = np.concatenate([rel_t, np.zeros((pad, edge_tile), np.int32)])
         block_of_tile = np.concatenate(
             [block_of_tile, np.full(pad, block_of_tile[-1], np.int32)]
         )
@@ -160,9 +176,9 @@ def _build_tile_plan(
     t_pad = k * c
     if t_pad > n_tiles:
         pad = t_pad - n_tiles
-        src_t = np.concatenate([src_t, np.zeros((pad, EDGE_TILE), np.int32)])
-        w_t = np.concatenate([w_t, np.zeros((pad, EDGE_TILE), np.float32)])
-        rel_t = np.concatenate([rel_t, np.zeros((pad, EDGE_TILE), np.int32)])
+        src_t = np.concatenate([src_t, np.zeros((pad, edge_tile), np.int32)])
+        w_t = np.concatenate([w_t, np.zeros((pad, edge_tile), np.float32)])
+        rel_t = np.concatenate([rel_t, np.zeros((pad, edge_tile), np.int32)])
         block_of_tile = np.concatenate(
             [block_of_tile, np.full(pad, block_of_tile[-1], np.int32)]
         )
@@ -172,9 +188,9 @@ def _build_tile_plan(
 
     put = jnp.asarray if device else (lambda a: a)
     return TilePlan(
-        src=put(src_t.reshape(k, c, EDGE_TILE)),
-        w=put(w_t.reshape(k, c, EDGE_TILE)),
-        rel=put(rel_t.reshape(k, c, EDGE_TILE)),
+        src=put(src_t.reshape(k, c, edge_tile)),
+        w=put(w_t.reshape(k, c, edge_tile)),
+        rel=put(rel_t.reshape(k, c, edge_tile)),
         block_idx=put(block_of_tile.reshape(k, c)),
         visited=put(visited),
         n_rows_padded=n_rows_padded,
@@ -182,6 +198,9 @@ def _build_tile_plan(
         n_tiles=n_tiles,
         n_chunks=k,
         tiles_per_chunk=c,
+        row_block=row_block,
+        edge_tile=edge_tile,
+        f32_mode=f32_mode,
     )
 
 
@@ -211,7 +230,8 @@ def build_plan(adj) -> SpmmPlan:
 # ------------------------------------------------------------------ kernel
 
 
-def _spmm_kernel(block_ref, xg_ref, w_ref, rel_ref, out_ref, *, compute_dtype):
+def _spmm_kernel(block_ref, yg_ref, rel_ref, out_ref, *, row_block, edge_tile,
+                 compute_dtype, f32_mode):
     i = pl.program_id(0)
     prev = block_ref[jnp.maximum(i - 1, 0)]
     first = jnp.logical_or(i == 0, block_ref[i] != prev)
@@ -220,74 +240,101 @@ def _spmm_kernel(block_ref, xg_ref, w_ref, rel_ref, out_ref, *, compute_dtype):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # Weighted one-hot scatter matrix M[r, e] = w[e] * (rel[e] == r), built
-    # lane-slice by lane-slice (w/rel arrive as (8, 128) blocks; broadcasting
-    # a (1, 128) row against the (ROW_BLOCK, 128) iota keeps every op in a
-    # Mosaic-supported layout — no 1D<->2D shape casts).
-    rows = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, LANE), 0)
+    # One-hot scatter matrix M[r, e] = (rel[e] == r), built lane-slice by
+    # lane-slice (rel arrives as (edge_tile/128, 128) blocks; broadcasting a
+    # (1, 128) row against the (row_block, 128) iota keeps every op in a
+    # Mosaic-supported layout — no 1D<->2D shape casts). The edge weights
+    # are pre-multiplied into the gathered rows OUTSIDE the kernel (XLA
+    # fuses the multiply into the gather), so M's entries are EXACTLY
+    # representable in bf16 — which is what makes the 'split2' f32 mode
+    # sound: only the yg operand needs bf16 splitting.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (row_block, LANE), 0)
     slices = []
-    for s in range(EDGE_TILE // LANE):
+    for s in range(edge_tile // LANE):
         rel_s = rel_ref[s, :][None, :]  # (1, LANE) int32
-        w_s = w_ref[s, :][None, :]  # (1, LANE) f32
-        slices.append(jnp.where(rows == rel_s, w_s, 0.0))
-    m = jnp.concatenate(slices, axis=1)  # (ROW_BLOCK, EDGE_TILE)
-    m = m.astype(compute_dtype)  # bf16 mode: MXU runs bf16 x bf16 -> f32
-    # f32 mode must request HIGHEST precision: the MXU otherwise truncates
-    # f32 operands to bf16 passes, costing ~2 decimal digits vs the scatter
-    # path (the one-hot entries are exact, so only the xg operand matters)
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if compute_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
-    out_ref[:] += jnp.dot(
-        m, xg_ref[0], preferred_element_type=jnp.float32, precision=precision
-    )
+        slices.append(jnp.where(rows == rel_s, 1.0, 0.0))
+    m = jnp.concatenate(slices, axis=1)  # (row_block, edge_tile) f32 {0,1}
+    yg = yg_ref[0]
+    if compute_dtype == jnp.float32 and f32_mode == "split2":
+        # exact one-hot in bf16 + hi/lo split of the f32 rows: two DEFAULT
+        # bf16 passes instead of HIGHEST's three — ~2^-18 relative
+        # representation error (vs ~2^-21 for the 3-pass product), f32
+        # accumulation throughout
+        m16 = m.astype(jnp.bfloat16)
+        y_hi = yg.astype(jnp.bfloat16)
+        y_lo = (yg - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out_ref[:] += jnp.dot(
+            m16, y_hi, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        ) + jnp.dot(
+            m16, y_lo, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+    else:
+        m = m.astype(compute_dtype)  # bf16 mode: MXU runs bf16 x bf16 -> f32
+        # f32/'highest' must request HIGHEST precision: the MXU otherwise
+        # truncates f32 operands to bf16 passes, costing ~2 decimal digits
+        # vs the scatter path
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        out_ref[:] += jnp.dot(
+            m, yg, preferred_element_type=jnp.float32, precision=precision
+        )
 
 
-def _edge_vec_spec():
-    # per-tile edge vectors (w, rel) ride as [T*8, 128] arrays so each tile's
-    # EDGE_TILE values form one aligned (8, 128) block
-    return pl.BlockSpec(
-        (EDGE_TILE // LANE, LANE), lambda i, blk: (i, 0), memory_space=pltpu.VMEM
-    )
-
-
-def _chunk_call(x_pad, src_c, w_c, rel_c, blk_c, n_rows_padded, h_pad, compute_dtype):
-    """One pallas_call over one chunk of tiles."""
+def _chunk_call(x_pad, src_c, w_c, rel_c, blk_c, n_rows_padded, h_pad,
+                compute_dtype, row_block, edge_tile, f32_mode):
+    """One pallas_call over one chunk of tiles. The edge weights multiply
+    the gathered rows here in XLA (fused into the gather's consumer chain —
+    no extra HBM pass), so the kernel's one-hot matrix is {0, 1}-exact."""
     c = src_c.shape[0]
-    xg = jnp.take(x_pad, src_c.reshape(-1), axis=0).reshape(c, EDGE_TILE, h_pad)
+    edge_tile = int(edge_tile)
+    xg = jnp.take(x_pad, src_c.reshape(-1), axis=0).reshape(c, edge_tile, h_pad)
+    yg = (xg * w_c[:, :, None]).astype(compute_dtype)
+    # Mosaic wants >= 8 sublanes per block: tiles narrower than 8*LANE edges
+    # pad their rel vector with unread rows (the kernel only loops over the
+    # first edge_tile/LANE slices)
+    sub = max(8, edge_tile // LANE)
+    rel_in = rel_c.reshape(c, edge_tile // LANE, LANE)
+    if sub > edge_tile // LANE:
+        rel_in = jnp.pad(rel_in, ((0, 0), (0, sub - edge_tile // LANE), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(c,),
         in_specs=[
             pl.BlockSpec(
-                (1, EDGE_TILE, h_pad), lambda i, blk: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, edge_tile, h_pad), lambda i, blk: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            _edge_vec_spec(),
-            _edge_vec_spec(),
+            pl.BlockSpec((sub, LANE), lambda i, blk: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (ROW_BLOCK, h_pad), lambda i, blk: (blk[i], 0), memory_space=pltpu.VMEM
+            (row_block, h_pad), lambda i, blk: (blk[i], 0), memory_space=pltpu.VMEM
         ),
     )
     itemsize = jnp.dtype(compute_dtype).itemsize
+    passes = 2 if (compute_dtype == jnp.float32 and f32_mode == "split2") else (
+        3 if compute_dtype == jnp.float32 else 1
+    )
     return pl.pallas_call(
-        partial(_spmm_kernel, compute_dtype=compute_dtype),
+        partial(_spmm_kernel, row_block=row_block, edge_tile=edge_tile,
+                compute_dtype=compute_dtype, f32_mode=f32_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows_padded, h_pad), jnp.float32),
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * c * EDGE_TILE * ROW_BLOCK * h_pad,
-            bytes_accessed=c * EDGE_TILE * (h_pad * itemsize + 8)
+            flops=passes * 2 * c * edge_tile * row_block * h_pad,
+            bytes_accessed=c * edge_tile * (h_pad * itemsize + 4)
             + n_rows_padded * h_pad * 4,
             transcendentals=0,
         ),
     )(
         blk_c,
-        xg,
-        w_c.reshape(-1, LANE),
-        rel_c.reshape(-1, LANE),
+        yg,
+        rel_in.reshape(-1, LANE),
     )
 
 
@@ -299,8 +346,9 @@ def _run_tiles(plan: TilePlan, x: jax.Array, compute_dtype=jnp.float32) -> jax.A
     under ``lax.scan`` so only one chunk's gather (~1 GB) is live at a time.
     """
     n, h = x.shape
+    rb, et = plan.row_block, plan.edge_tile
     h_pad = max(LANE, -(-h // LANE) * LANE)
-    n_pad = max(plan.n_rows_padded, -(-n // ROW_BLOCK) * ROW_BLOCK)
+    n_pad = max(plan.n_rows_padded, -(-n // rb) * rb)
     x_pad = jnp.zeros((n_pad, h_pad), compute_dtype).at[:n, :h].set(
         x.astype(compute_dtype)
     )
@@ -315,17 +363,21 @@ def _run_tiles(plan: TilePlan, x: jax.Array, compute_dtype=jnp.float32) -> jax.A
             plan.n_rows_padded,
             h_pad,
             compute_dtype,
+            rb,
+            et,
+            plan.f32_mode,
         )
         return out[:plan.n_rows, :h]
 
     def body(carry, chunk):
         src_c, w_c, rel_c, blk_c, vis_c = chunk
         out_c = _chunk_call(
-            x_pad, src_c, w_c, rel_c, blk_c, plan.n_rows_padded, h_pad, compute_dtype
+            x_pad, src_c, w_c, rel_c, blk_c, plan.n_rows_padded, h_pad,
+            compute_dtype, rb, et, plan.f32_mode
         )
         # blocks this chunk never visited hold garbage — mask, then add
         # (chunk boundaries can split a block, so partial sums accumulate)
-        mask = jnp.repeat(vis_c, ROW_BLOCK)[:, None]
+        mask = jnp.repeat(vis_c, rb)[:, None]
         return carry + jnp.where(mask, out_c, 0.0), None
 
     init = jnp.zeros((plan.n_rows_padded, h_pad), jnp.float32)
