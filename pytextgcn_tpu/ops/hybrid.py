@@ -279,6 +279,9 @@ def build_hybrid_plan(
     fused: Optional[bool] = None,
     resid_mode: str = "pallas",
     batch: int = 1,
+    resid_row_block: Optional[int] = None,
+    resid_edge_tile: Optional[int] = None,
+    resid_f32_mode: Optional[str] = None,
 ) -> Optional[HybridPlan]:
     """Host-side construction. ``hot_k``: int (0 = disabled), or 'auto' to
     pick by cost model (returns None if the model says pure-Pallas wins).
@@ -293,8 +296,20 @@ def build_hybrid_plan(
     picks by modeled cost. ``batch``: number of models applying this plan
     per step (vmapped EP ensembles) — biases the auto-K choice toward
     larger hot sets, since the batched dense half streams D once for all
-    members while the residual pays per member."""
-    from .spmm_pallas import _build_tile_plan
+    members while the residual pays per member. ``resid_row_block`` /
+    ``resid_edge_tile`` / ``resid_f32_mode``: tile geometry + f32 MXU
+    strategy for the cold-cold residual kernel (None = the chip-swept
+    RESID_* defaults in ops/spmm_pallas.py —
+    experiments/probe_resid_kernel.py)."""
+    from .spmm_pallas import (RESID_EDGE_TILE, RESID_F32_MODE,
+                              RESID_ROW_BLOCK, _build_tile_plan)
+
+    if resid_row_block is None:
+        resid_row_block = RESID_ROW_BLOCK
+    if resid_edge_tile is None:
+        resid_edge_tile = RESID_EDGE_TILE
+    if resid_f32_mode is None:
+        resid_f32_mode = RESID_F32_MODE
 
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
@@ -396,8 +411,14 @@ def build_hybrid_plan(
         else:
             use_tiles = resid_mode != "segment"
         if use_tiles:
-            res_fwd = _build_tile_plan(src[rsel], dst[rsel], w[rsel], n_nodes)
-            res_bwd = _build_tile_plan(dst[rsel], src[rsel], w[rsel], n_nodes)
+            res_fwd = _build_tile_plan(
+                src[rsel], dst[rsel], w[rsel], n_nodes,
+                row_block=resid_row_block, edge_tile=resid_edge_tile,
+                f32_mode=resid_f32_mode)
+            res_bwd = _build_tile_plan(
+                dst[rsel], src[rsel], w[rsel], n_nodes,
+                row_block=resid_row_block, edge_tile=resid_edge_tile,
+                f32_mode=resid_f32_mode)
         else:
             seg_src = jnp.asarray(src[rsel], jnp.int32)
             seg_dst = jnp.asarray(dst[rsel], jnp.int32)

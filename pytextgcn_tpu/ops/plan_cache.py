@@ -43,11 +43,11 @@ def graph_fingerprint(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
 
 
 def _plan_key(fp: str, hot_k, compute_dtype, fused, resid_mode, batch,
-              h_hint) -> str:
+              h_hint, resid_geom=None) -> str:
     h = hashlib.blake2b(digest_size=12)
     h.update(
         repr((_FORMAT_VERSION, fp, hot_k, compute_dtype, fused, resid_mode,
-              batch, h_hint)).encode()
+              batch, h_hint, resid_geom)).encode()
     )
     return h.hexdigest()
 
@@ -181,7 +181,13 @@ def load_or_build(cache_dir: Optional[str], g, src, dst, norm_w, *,
     pipelines that only swap labels/masks hit the same entry.
     """
     from .hybrid import build_hybrid_plan
+    from .spmm_pallas import (RESID_EDGE_TILE, RESID_F32_MODE,
+                              RESID_ROW_BLOCK)
 
+    # the key must cover the EFFECTIVE residual geometry: the RESID_*
+    # defaults are chip-swept constants, and a stale hit after they change
+    # would silently pin the old kernel shape
+    resid_geom = (RESID_ROW_BLOCK, RESID_EDGE_TILE, RESID_F32_MODE)
     if cache_dir is None:
         return build_hybrid_plan(
             src, dst, norm_w, g.n_nodes, hot_k=hot_k,
@@ -192,7 +198,8 @@ def load_or_build(cache_dir: Optional[str], g, src, dst, norm_w, *,
         np.asarray(g.edge_src), np.asarray(g.edge_dst),
         np.asarray(g.edge_w), g.n_nodes,
     )
-    key = _plan_key(fp, hot_k, compute_dtype, fused, resid_mode, batch, h_hint)
+    key = _plan_key(fp, hot_k, compute_dtype, fused, resid_mode, batch,
+                    h_hint, resid_geom)
     plan = load_plan(cache_dir, key, src, dst, norm_w)
     if plan is not None:
         return plan

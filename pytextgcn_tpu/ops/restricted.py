@@ -81,16 +81,28 @@ class RestrictedAdj:
     floor_spmm_ns: float = 0.0
 
 
+def _resid_geom() -> dict:
+    """Residual tile-plan geometry kwargs (the chip-swept RESID_* defaults
+    shared with ops/hybrid.py — experiments/probe_resid_kernel.py)."""
+    from .spmm_pallas import (RESID_EDGE_TILE, RESID_F32_MODE,
+                              RESID_ROW_BLOCK)
+
+    return dict(row_block=RESID_ROW_BLOCK, edge_tile=RESID_EDGE_TILE,
+                f32_mode=RESID_F32_MODE)
+
+
 def _padded_slots(dst_local: np.ndarray, m: int) -> int:
     """Exact slot count a tile plan would allocate for these edges: per
-    ROW_BLOCK destination block, edges round up to EDGE_TILE (and every
+    residual row block, edges round up to the residual edge tile (and every
     block pays at least one tile). The restricted head's residuals are
     small enough that this padding — not the raw edge count — is the cost."""
-    from .spmm_pallas import EDGE_TILE, ROW_BLOCK
+    from .spmm_pallas import RESID_EDGE_TILE, RESID_ROW_BLOCK
 
-    n_blocks = max(1, -(-m // ROW_BLOCK))
-    counts = np.bincount(dst_local // ROW_BLOCK, minlength=n_blocks)
-    return int(np.maximum(-(-counts // EDGE_TILE), 1).sum() * EDGE_TILE)
+    n_blocks = max(1, -(-m // RESID_ROW_BLOCK))
+    counts = np.bincount(dst_local // RESID_ROW_BLOCK, minlength=n_blocks)
+    return int(
+        np.maximum(-(-counts // RESID_EDGE_TILE), 1).sum() * RESID_EDGE_TILE
+    )
 
 
 def build_restricted_adj(
@@ -201,16 +213,18 @@ def build_restricted_adj(
                 < n_resid * 2 * _GATHER_NS
             )
             if use_tiles:
-                res_fwd = _build_tile_plan(r_src[csel], r_dst[csel], r_w[csel], m)
-                res_bwd = _build_tile_plan(r_dst[csel], r_src[csel], r_w[csel], n)
+                res_fwd = _build_tile_plan(
+                    r_src[csel], r_dst[csel], r_w[csel], m, **_resid_geom())
+                res_bwd = _build_tile_plan(
+                    r_dst[csel], r_src[csel], r_w[csel], n, **_resid_geom())
             else:
                 seg_src = jnp.asarray(r_src[csel], jnp.int32)
                 seg_dst = jnp.asarray(r_dst[csel], jnp.int32)
                 seg_w = jnp.asarray(r_w[csel], jnp.float32)
         floor = m * k * itemsize / _HBM_BPS * 1e9 + n_resid * _GATHER_NS
     elif use_pallas and resid_mode != "segment":
-        res_fwd = _build_tile_plan(r_src, r_dst, r_w, m)
-        res_bwd = _build_tile_plan(r_dst, r_src, r_w, n)
+        res_fwd = _build_tile_plan(r_src, r_dst, r_w, m, **_resid_geom())
+        res_bwd = _build_tile_plan(r_dst, r_src, r_w, n, **_resid_geom())
     else:
         seg_src = jnp.asarray(r_src, jnp.int32)
         seg_dst = jnp.asarray(r_dst, jnp.int32)

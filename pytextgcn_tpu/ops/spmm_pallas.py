@@ -36,6 +36,15 @@ EDGE_TILE = 1024  # = 8 sublanes x 128 lanes, so per-tile edge vectors tile clea
 ROW_BLOCK = 256
 LANE = 128
 
+# geometry + f32 strategy for HYBRID RESIDUAL tile plans (ops/hybrid.py):
+# chip-swept in experiments/probe_resid_kernel.py (v5e, 0.99M cold edges,
+# H=100). Standalone full-graph plans keep the ROW_BLOCK/EDGE_TILE
+# defaults above ('highest' exactness, larger blocks amortize better at
+# full-graph edge counts).
+RESID_ROW_BLOCK = 256
+RESID_EDGE_TILE = 1024
+RESID_F32_MODE = "highest"
+
 
 def _use_interpret() -> bool:
     # compiled Mosaic on real TPU backends; interpreter elsewhere (CPU tests)
