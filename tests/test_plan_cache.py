@@ -125,3 +125,51 @@ def test_fast_audit_used_for_flagged_graphs(monkeypatch):
     g = _sym_graph(weight_symmetric=True)
     adj = NormAdj.from_graph(g, hybrid_k=128)
     assert adj.plan is not None
+
+
+def test_plan_cache_round_trips_tile_geometry(tmp_path):
+    """Format v2: TilePlan geometry + f32_mode survive the npz round-trip,
+    and the key covers the effective RESID_* geometry (a swept-default
+    change must miss, not pin stale kernel shapes)."""
+    import pytextgcn_tpu.ops.spmm_pallas as sp
+    from pytextgcn_tpu.core.graph import TextGraph
+    from pytextgcn_tpu.ops import NormAdj
+
+    rng = np.random.default_rng(5)
+    n, e = 600, 4000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.random(e).astype(np.float32)
+    src2 = np.concatenate([src, dst])
+    dst2 = np.concatenate([dst, src])
+    w2 = np.concatenate([w, w])
+    g = TextGraph(
+        edge_src=src2, edge_dst=dst2, edge_w=w2,
+        y=np.zeros(n, np.int32), train_mask=np.zeros(n, bool),
+        val_mask=np.zeros(n, bool), test_mask=np.zeros(n, bool),
+        n_vocab=n // 2, n_docs=n - n // 2, weight_symmetric=True,
+    )
+    adj = NormAdj.from_graph(g, hybrid_k=64, plan_cache=str(tmp_path))
+    assert adj.plan is not None and adj.plan.res_fwd is not None
+    files = list(tmp_path.glob("hybridplan-*.npz"))
+    assert len(files) == 1
+
+    adj2 = NormAdj.from_graph(g, hybrid_k=64, plan_cache=str(tmp_path))
+    tp, tp2 = adj.plan.res_fwd, adj2.plan.res_fwd
+    assert (tp2.row_block, tp2.edge_tile, tp2.f32_mode) == (
+        tp.row_block, tp.edge_tile, tp.f32_mode
+    )
+    np.testing.assert_array_equal(np.asarray(tp2.rel), np.asarray(tp.rel))
+
+    # a different effective geometry must produce a different cache key
+    orig = (sp.RESID_ROW_BLOCK, sp.RESID_EDGE_TILE, sp.RESID_F32_MODE)
+    try:
+        sp.RESID_ROW_BLOCK, sp.RESID_EDGE_TILE, sp.RESID_F32_MODE = (
+            128, 512, "split2"
+        )
+        adj3 = NormAdj.from_graph(g, hybrid_k=64, plan_cache=str(tmp_path))
+        assert len(list(tmp_path.glob("hybridplan-*.npz"))) == 2
+        tp3 = adj3.plan.res_fwd
+        assert (tp3.row_block, tp3.edge_tile, tp3.f32_mode) == (128, 512, "split2")
+    finally:
+        (sp.RESID_ROW_BLOCK, sp.RESID_EDGE_TILE, sp.RESID_F32_MODE) = orig
