@@ -293,6 +293,13 @@ def main():
             probe_fields = {
                 "probed_gather_ns": round(pr.gather_ns, 3),
                 "probed_hbm_bps": round(pr.hbm_bps, 1),
+                "probed_stream_bps": round(pr.stream_bps, 1),
+                # the streaming roofline fraction against THIS RUN's pure
+                # copy bandwidth (fraction_of_roofline keeps the frozen
+                # 220 GB/s constant for round-over-round comparability)
+                "fraction_of_roofline_probed": round(
+                    ideal_bytes / pr.stream_bps / best_dt, 4
+                ) if pr.stream_bps else None,
                 "probed_mxu_f32_fps": round(pr.mxu_f32_fps, 1),
                 "probed_mxu_bf16_fps": round(pr.mxu_bf16_fps, 1),
                 "probe_s": round(pr.probe_s, 1),
@@ -302,7 +309,8 @@ def main():
                 "floor_check": "ok" if floor_ok else "VIOLATED",
             }
             log(
-                f"probe: gather {pr.gather_ns:.2f} ns/row, stream "
+                f"probe: gather {pr.gather_ns:.2f} ns/row, copy "
+                f"{pr.stream_bps / 1e9:.0f} GB/s, D-read "
                 f"{pr.hbm_bps / 1e9:.0f} GB/s, MXU f32 "
                 f"{pr.mxu_f32_fps / 1e12:.1f} TF/s (bf16 "
                 f"{pr.mxu_bf16_fps / 1e12:.1f}); probed floor "

@@ -87,6 +87,12 @@ class ChipProbe:
     mxu_f32_fps: float  # f32 HIGHEST effective FLOP/s at H=512
     mxu_bf16_fps: float  # bf16 effective FLOP/s at H=512
     probe_s: float  # wall time spent probing (incl. compiles)
+    # pure elementwise-copy bandwidth (read + write counted): the TRUE
+    # streaming ceiling, free of any MXU-pass conflation — hbm_bps above is
+    # deliberately the matmul-shape-class effective rate the hybrid dense
+    # half consumes, which can exceed stream_bps when the op is
+    # compute-bound (then "bytes/s" is just flops/intensity)
+    stream_bps: float = 0.0
 
     def dense_ns(self, n_nodes: int, k: int, h: int, itemsize: int,
                  d_reads: int = 2) -> float:
@@ -137,6 +143,23 @@ def probe_chip(reps: int = 3, seed: int = 0, e: int = 2_000_000,
 
     gather_ns = slope_time(make_gather, reps=reps) / e * 1e9
 
+    # pure streaming: elementwise copy-scale chain over a matmul-free array
+    # (~200 MB at the default nk); bytes = read + write per iteration
+    big = jnp.asarray(rng.standard_normal((nk, 1024)).astype(np.float32))
+
+    def make_stream(length):
+        @jax.jit
+        def many(y):
+            def body(y, _):
+                return y * 0.999 + 1e-7, None
+
+            y, _ = jax.lax.scan(body, y, None, length=length)
+            return y
+
+        return many, (big,)
+
+    stream_bps = 2 * big.size * 4 / slope_time(make_stream, reps=reps)
+
     k = 2_048
     d32 = jnp.asarray((rng.standard_normal((nk, k)) / 100).astype(np.float32))
 
@@ -181,4 +204,5 @@ def probe_chip(reps: int = 3, seed: int = 0, e: int = 2_000_000,
         mxu_f32_fps=float(mxu_f32),
         mxu_bf16_fps=float(mxu_bf16),
         probe_s=float(time.time() - t_start),
+        stream_bps=float(stream_bps),
     )
