@@ -66,8 +66,11 @@ def parse_jobs(path: str, out_dir: str):
 
 
 def merge(out_dir: str, target: str):
-    """Append all per-job CSV rows into the shared protocol results file,
-    skipping rows already present (idempotent re-merge)."""
+    """Append all per-job CSV rows into the shared protocol results file
+    (and its ``.jsonl`` sibling, stamped with the job CSV's mtime), skipping
+    rows already present (idempotent re-merge)."""
+    import json
+
     seen = set()
     header = None
     if os.path.exists(target):
@@ -76,11 +79,14 @@ def merge(out_dir: str, target: str):
             header = next(r, None)
             for row in r:
                 seen.add(tuple(row))
+    jsonl = target + ".jsonl"
     added = 0
     for fn in sorted(os.listdir(out_dir)):
         if not fn.endswith(".csv"):
             continue
-        with open(os.path.join(out_dir, fn)) as f:
+        path = os.path.join(out_dir, fn)
+        ts = os.path.getmtime(path)
+        with open(path) as f:
             r = csv.reader(f)
             h = next(r, None)
             if header is None:
@@ -93,6 +99,15 @@ def merge(out_dir: str, target: str):
                 seen.add(tuple(row))
                 with open(target, "a", newline="") as t:
                     csv.writer(t).writerow(row)
+                if os.path.exists(jsonl):
+                    rec = dict(zip(header, row))
+                    for key in ("seed",):
+                        rec[key] = int(rec[key])
+                    for key in ("f1-macro", "accuracy"):
+                        rec[key] = float(rec[key])
+                    rec["ts"] = round(ts, 3)
+                    with open(jsonl, "a") as t:
+                        t.write(json.dumps(rec) + "\n")
                 added += 1
     print(f"merged {added} new rows into {target}")
 
