@@ -301,15 +301,15 @@ def build_hybrid_plan(
     strategy for the cold-cold residual kernel (None = the chip-swept
     RESID_* defaults in ops/spmm_pallas.py —
     experiments/probe_resid_kernel.py)."""
-    from .spmm_pallas import (RESID_EDGE_TILE, RESID_F32_MODE,
-                              RESID_ROW_BLOCK, _build_tile_plan)
+    from .spmm_pallas import RESID_F32_MODE, _build_tile_plan, resid_geometry
 
-    if resid_row_block is None:
-        resid_row_block = RESID_ROW_BLOCK
-    if resid_edge_tile is None:
-        resid_edge_tile = RESID_EDGE_TILE
     if resid_f32_mode is None:
         resid_f32_mode = RESID_F32_MODE
+    geom = resid_geometry(compute_dtype, resid_f32_mode)
+    if resid_row_block is None:
+        resid_row_block = geom[0]
+    if resid_edge_tile is None:
+        resid_edge_tile = geom[1]
 
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)

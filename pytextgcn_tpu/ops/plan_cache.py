@@ -181,13 +181,13 @@ def load_or_build(cache_dir: Optional[str], g, src, dst, norm_w, *,
     pipelines that only swap labels/masks hit the same entry.
     """
     from .hybrid import build_hybrid_plan
-    from .spmm_pallas import (RESID_EDGE_TILE, RESID_F32_MODE,
-                              RESID_ROW_BLOCK)
+    from .spmm_pallas import RESID_F32_MODE, resid_geometry
 
-    # the key must cover the EFFECTIVE residual geometry: the RESID_*
-    # defaults are chip-swept constants, and a stale hit after they change
-    # would silently pin the old kernel shape
-    resid_geom = (RESID_ROW_BLOCK, RESID_EDGE_TILE, RESID_F32_MODE)
+    # the key must cover the EFFECTIVE residual geometry: the per-mode
+    # RESID_GEOMS defaults are chip-swept constants, and a stale hit after
+    # they change would silently pin the old kernel shape
+    resid_geom = resid_geometry(compute_dtype, RESID_F32_MODE) + (
+        RESID_F32_MODE,)
     if cache_dir is None:
         return build_hybrid_plan(
             src, dst, norm_w, g.n_nodes, hot_k=hot_k,

@@ -81,28 +81,26 @@ class RestrictedAdj:
     floor_spmm_ns: float = 0.0
 
 
-def _resid_geom() -> dict:
-    """Residual tile-plan geometry kwargs (the chip-swept RESID_* defaults
-    shared with ops/hybrid.py — experiments/probe_resid_kernel.py)."""
-    from .spmm_pallas import (RESID_EDGE_TILE, RESID_F32_MODE,
-                              RESID_ROW_BLOCK)
+def _resid_geom(compute_dtype="float32") -> dict:
+    """Residual tile-plan geometry kwargs (the chip-swept per-mode
+    RESID_GEOMS shared with ops/hybrid.py — probe_resid_kernel.py)."""
+    from .spmm_pallas import RESID_F32_MODE, resid_geometry
 
-    return dict(row_block=RESID_ROW_BLOCK, edge_tile=RESID_EDGE_TILE,
-                f32_mode=RESID_F32_MODE)
+    rb, et = resid_geometry(compute_dtype, RESID_F32_MODE)
+    return dict(row_block=rb, edge_tile=et, f32_mode=RESID_F32_MODE)
 
 
-def _padded_slots(dst_local: np.ndarray, m: int) -> int:
+def _padded_slots(dst_local: np.ndarray, m: int,
+                  compute_dtype="float32") -> int:
     """Exact slot count a tile plan would allocate for these edges: per
     residual row block, edges round up to the residual edge tile (and every
     block pays at least one tile). The restricted head's residuals are
     small enough that this padding — not the raw edge count — is the cost."""
-    from .spmm_pallas import RESID_EDGE_TILE, RESID_ROW_BLOCK
-
-    n_blocks = max(1, -(-m // RESID_ROW_BLOCK))
-    counts = np.bincount(dst_local // RESID_ROW_BLOCK, minlength=n_blocks)
-    return int(
-        np.maximum(-(-counts // RESID_EDGE_TILE), 1).sum() * RESID_EDGE_TILE
-    )
+    geom = _resid_geom(compute_dtype)
+    rb, et = geom["row_block"], geom["edge_tile"]
+    n_blocks = max(1, -(-m // rb))
+    counts = np.bincount(dst_local // rb, minlength=n_blocks)
+    return int(np.maximum(-(-counts // et), 1).sum() * et)
 
 
 def build_restricted_adj(
@@ -150,7 +148,7 @@ def build_restricted_adj(
         padded slot count and the segment path (measured on-chip at ~4x the
         raw gather issue rate once the scatter half and launch overheads
         are in — probe_restricted.py)."""
-        pallas_ns = _padded_slots(dst_l, m) * _EDGE_NS
+        pallas_ns = _padded_slots(dst_l, m, compute_dtype) * _EDGE_NS
         segment_ns = n_edges * 4 * _GATHER_NS
         return min(pallas_ns, segment_ns)
 
@@ -209,22 +207,22 @@ def build_restricted_adj(
         if n_resid:
             use_tiles = resid_mode == "pallas" or (
                 resid_mode == "auto"
-                and _padded_slots(r_dst[csel], m) * _EDGE_NS
+                and _padded_slots(r_dst[csel], m, compute_dtype) * _EDGE_NS
                 < n_resid * 2 * _GATHER_NS
             )
             if use_tiles:
                 res_fwd = _build_tile_plan(
-                    r_src[csel], r_dst[csel], r_w[csel], m, **_resid_geom())
+                    r_src[csel], r_dst[csel], r_w[csel], m, **_resid_geom(compute_dtype))
                 res_bwd = _build_tile_plan(
-                    r_dst[csel], r_src[csel], r_w[csel], n, **_resid_geom())
+                    r_dst[csel], r_src[csel], r_w[csel], n, **_resid_geom(compute_dtype))
             else:
                 seg_src = jnp.asarray(r_src[csel], jnp.int32)
                 seg_dst = jnp.asarray(r_dst[csel], jnp.int32)
                 seg_w = jnp.asarray(r_w[csel], jnp.float32)
         floor = m * k * itemsize / _HBM_BPS * 1e9 + n_resid * _GATHER_NS
     elif use_pallas and resid_mode != "segment":
-        res_fwd = _build_tile_plan(r_src, r_dst, r_w, m, **_resid_geom())
-        res_bwd = _build_tile_plan(r_dst, r_src, r_w, n, **_resid_geom())
+        res_fwd = _build_tile_plan(r_src, r_dst, r_w, m, **_resid_geom(compute_dtype))
+        res_bwd = _build_tile_plan(r_dst, r_src, r_w, n, **_resid_geom(compute_dtype))
     else:
         seg_src = jnp.asarray(r_src, jnp.int32)
         seg_dst = jnp.asarray(r_dst, jnp.int32)

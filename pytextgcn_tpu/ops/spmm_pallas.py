@@ -37,13 +37,28 @@ ROW_BLOCK = 256
 LANE = 128
 
 # geometry + f32 strategy for HYBRID RESIDUAL tile plans (ops/hybrid.py):
-# chip-swept in experiments/probe_resid_kernel.py (v5e, 0.99M cold edges,
-# H=100). Standalone full-graph plans keep the ROW_BLOCK/EDGE_TILE
-# defaults above ('highest' exactness, larger blocks amortize better at
-# full-graph edge counts).
-RESID_ROW_BLOCK = 256
-RESID_EDGE_TILE = 1024
+# chip-swept PER MODE in experiments/probe_resid_kernel.py (v5e, 0.99M
+# cold edges, K=4096, H=100; full grids in experiments/resid_kernel*.log).
+# The kernel's MXU flops per edge slot are ``passes * 2 * row_block *
+# h_pad``, so the 3-pass 'highest' mode wants the smallest row block whose
+# padding doesn't eat the flop saving (128x256: 5.04 ms vs 5.93 at the old
+# 256x1024 — pad 1.04x), while the cheaper-pass modes are flat across
+# row_block<=256 and won best at 256x512 ('split2' 4.36 ms, -26%). bf16
+# (1 pass) shares split2's geometry — same below-3-pass structure.
+# Standalone full-graph plans keep the ROW_BLOCK/EDGE_TILE defaults above
+# ('highest' exactness, larger blocks amortize better at full-graph edge
+# counts).
+RESID_GEOMS = {"highest": (128, 256), "split2": (256, 512),
+               "bf16": (256, 512)}
+RESID_ROW_BLOCK, RESID_EDGE_TILE = RESID_GEOMS["highest"]
 RESID_F32_MODE = "highest"
+
+
+def resid_geometry(compute_dtype, f32_mode: str):
+    """Chip-swept residual tile geometry ``(row_block, edge_tile)`` for
+    this compute mode (see RESID_GEOMS above; bf16 plans ignore f32_mode)."""
+    key = ("bf16" if jnp.dtype(compute_dtype) == jnp.bfloat16 else f32_mode)
+    return RESID_GEOMS.get(key, (RESID_ROW_BLOCK, RESID_EDGE_TILE))
 
 
 def _use_interpret() -> bool:

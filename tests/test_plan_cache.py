@@ -162,14 +162,17 @@ def test_plan_cache_round_trips_tile_geometry(tmp_path):
     np.testing.assert_array_equal(np.asarray(tp2.rel), np.asarray(tp.rel))
 
     # a different effective geometry must produce a different cache key
-    orig = (sp.RESID_ROW_BLOCK, sp.RESID_EDGE_TILE, sp.RESID_F32_MODE)
+    # (geometry now resolves per mode through sp.RESID_GEOMS /
+    # sp.resid_geometry — patch the table, not the legacy globals)
+    orig_mode, orig_geom = sp.RESID_F32_MODE, dict(sp.RESID_GEOMS)
     try:
-        sp.RESID_ROW_BLOCK, sp.RESID_EDGE_TILE, sp.RESID_F32_MODE = (
-            128, 512, "split2"
-        )
+        sp.RESID_F32_MODE = "split2"
+        sp.RESID_GEOMS["split2"] = (128, 512)
         adj3 = NormAdj.from_graph(g, hybrid_k=64, plan_cache=str(tmp_path))
         assert len(list(tmp_path.glob("hybridplan-*.npz"))) == 2
         tp3 = adj3.plan.res_fwd
         assert (tp3.row_block, tp3.edge_tile, tp3.f32_mode) == (128, 512, "split2")
     finally:
-        (sp.RESID_ROW_BLOCK, sp.RESID_EDGE_TILE, sp.RESID_F32_MODE) = orig
+        sp.RESID_F32_MODE = orig_mode
+        sp.RESID_GEOMS.clear()
+        sp.RESID_GEOMS.update(orig_geom)

@@ -126,3 +126,20 @@ def test_tile_geometry_and_f32_mode_variants():
             lambda x: _spmm_pallas(x, f, b, jnp.float32).sum()
         )(jnp.asarray(x))
         assert np.abs(np.asarray(g) - want_g).max() / np.abs(want_g).max() < tol
+
+
+def test_resid_geometry_resolves_per_mode():
+    """Per-mode residual geometry (chip-swept, probe_resid_kernel.py):
+    'highest' wants a small row block (its 3 passes make row_block the flop
+    knob), split2/bf16 share the cheaper-pass winner; bf16 plans ignore the
+    f32 mode entirely; unknown modes fall back to the 'highest' defaults."""
+    import jax.numpy as jnp
+
+    from pytextgcn_tpu.ops import spmm_pallas as sp
+
+    assert sp.resid_geometry("float32", "highest") == sp.RESID_GEOMS["highest"]
+    assert sp.resid_geometry("float32", "split2") == sp.RESID_GEOMS["split2"]
+    assert sp.resid_geometry(jnp.bfloat16, "highest") == sp.RESID_GEOMS["bf16"]
+    assert sp.resid_geometry(jnp.bfloat16, "split2") == sp.RESID_GEOMS["bf16"]
+    assert sp.resid_geometry("float32", "nonesuch") == (
+        sp.RESID_ROW_BLOCK, sp.RESID_EDGE_TILE)
