@@ -153,6 +153,7 @@ def bench_scale(g, variants):
                 adj_out = build_restricted_adj(
                     g, rows, hot_k="auto",
                     compute_dtype=kwargs.get("pallas_dtype", "float32"),
+                    resid_f32_mode=kwargs.get("hybrid_f32_mode"),
                 )
         except Exception as e:
             log(f"  {name}: adjacency build failed ({type(e).__name__}: {e})")
@@ -208,6 +209,18 @@ def main():
             ("hybrid f32", dict(hybrid_k="auto", plan_cache=PLAN_CACHE)),
             ("hybrid f32 masked-head",
              dict(hybrid_k="auto", plan_cache=PLAN_CACHE, masked_head=True)),
+            # split2: two exact-one-hot bf16 passes on the residual
+            # (~3e-6 max rel error per SpMM vs 'highest''s ~1e-7); counts
+            # as a parity-class f32 path because its TRAINING TRAJECTORY
+            # tracks the segment-f32 oracle (tests/test_spmm_hybrid.py::
+            # test_hybrid_split2_trajectory_tracks_segment); chip-measured
+            # ~26% faster residual (experiments/probe_resid_kernel.py)
+            ("hybrid f32.split2",
+             dict(hybrid_k="auto", plan_cache=PLAN_CACHE,
+                  hybrid_f32_mode="split2")),
+            ("hybrid f32.split2 masked-head",
+             dict(hybrid_k="auto", plan_cache=PLAN_CACHE,
+                  hybrid_f32_mode="split2", masked_head=True)),
             ("hybrid bf16", dict(hybrid_k="auto", plan_cache=PLAN_CACHE,
                                  pallas_dtype="bfloat16")),
             ("hybrid bf16 masked-head",

@@ -20,7 +20,8 @@ import numpy as np
 from common import load_corpus
 from pytextgcn_tpu import Text2Graph
 from pytextgcn_tpu.config import (
-    ExperimentConfig, hybrid_fused_arg, hybrid_k_arg, make_model,
+    ExperimentConfig, hybrid_f32_mode_arg, hybrid_fused_arg, hybrid_k_arg,
+    make_model,
     parse_config, sharding_args,
 )
 from pytextgcn_tpu.train import Trainer
@@ -60,6 +61,7 @@ def main(argv=None):
         model, lr=cfg.train.lr, seed=cfg.train.seed,
         use_pallas=cfg.train.use_pallas,
         hybrid_fused=hybrid_fused_arg(cfg.train),
+        hybrid_f32_mode=hybrid_f32_mode_arg(cfg.train),
         pallas_dtype=cfg.train.pallas_dtype,
         debug_checks=cfg.train.debug_checks,
         masked_head=cfg.train.masked_head,

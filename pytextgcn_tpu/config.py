@@ -54,6 +54,12 @@ class TrainConfig:
     # one-pass-over-D fused dual kernel for the hybrid's dense half
     # (ops/fused_dual.py): 'auto' = backend default, 'on'/'off' = force
     hybrid_fused: str = "auto"
+    # f32 MXU strategy for the hybrid's cold residual tile kernel
+    # (ops/spmm_pallas.py): 'default' = RESID_F32_MODE ('highest', 3-pass
+    # exact), 'split2' = two exact-one-hot bf16 passes (~3e-6 max rel
+    # error per SpMM, chip-measured ~26% faster residual; trajectory-
+    # tracking pin in tests/test_spmm_hybrid.py)
+    hybrid_f32_mode: str = "default"
     # compute dtype of the hybrid/Pallas aggregation: 'float32' (parity-
     # exact) or 'bfloat16' (~2x faster on chip; params/optimizer/loss stay
     # f32 — protocol-scale accuracy validation in RESULTS.md)
@@ -238,6 +244,20 @@ def hybrid_fused_arg(cfg: TrainConfig):
         return False
     raise SystemExit(
         f"--train-hybrid-fused must be 'auto', 'on', or 'off', got {v!r}"
+    )
+
+
+def hybrid_f32_mode_arg(cfg: TrainConfig):
+    """TrainConfig.hybrid_f32_mode ('default' | 'highest' | 'split2') ->
+    Trainer arg (None = the RESID_F32_MODE module default)."""
+    v = (cfg.hybrid_f32_mode or "default").lower()
+    if v in ("default", "none", ""):
+        return None
+    if v in ("highest", "split2"):
+        return v
+    raise SystemExit(
+        "--train-hybrid-f32-mode must be 'default', 'highest', or "
+        f"'split2', got {v!r}"
     )
 
 

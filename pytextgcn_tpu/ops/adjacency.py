@@ -53,6 +53,7 @@ class NormAdj:
         hybrid_resid: str = "pallas",
         hybrid_batch: int = 1,
         plan_cache: Optional[str] = None,
+        hybrid_f32_mode: Optional[str] = None,
     ) -> "NormAdj":
         """``hybrid_k``: enable the dense-hot/sparse-cold decomposition
         (ops/hybrid.py) with a hot set of that size ('auto' = cost-model
@@ -66,7 +67,11 @@ class NormAdj:
         the auto-K choice toward larger hot sets. ``plan_cache``:
         directory for persisted hybrid plans (ops/plan_cache.py) — a warm
         process skips host-side plan construction, keyed by an edge
-        fingerprint + build parameters."""
+        fingerprint + build parameters. ``hybrid_f32_mode``: f32 MXU
+        strategy for the cold residual tile kernel — 'highest' (3-pass
+        exact-parity default) or 'split2' (two exact bf16 passes, ~3e-6
+        max rel error, chip-measured ~26% faster residual; None = the
+        RESID_F32_MODE default in ops/spmm_pallas.py)."""
         # normalization on host (numpy): one-time preprocessing; keeps all
         # device work inside jitted hot paths
         src = np.asarray(g.edge_src)
@@ -82,6 +87,7 @@ class NormAdj:
                 plan_cache, g, src, dst, norm_w, hot_k=hybrid_k,
                 compute_dtype=pallas_dtype, fused=hybrid_fused,
                 resid_mode=hybrid_resid, batch=hybrid_batch,
+                resid_f32_mode=hybrid_f32_mode,
                 # symmetric normalization preserves construction-guaranteed
                 # weight symmetry -> the cheap randomized audit suffices
                 validate="fast" if getattr(g, "weight_symmetric", False) else True,

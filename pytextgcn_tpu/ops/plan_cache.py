@@ -173,7 +173,8 @@ def load_plan(cache_dir: str, key: str, src, dst, norm_w):
 
 def load_or_build(cache_dir: Optional[str], g, src, dst, norm_w, *,
                   hot_k, compute_dtype, fused, resid_mode, batch,
-                  validate, h_hint: int = 128):
+                  validate, h_hint: int = 128,
+                  resid_f32_mode: Optional[str] = None):
     """Cache-through hybrid plan build (used by NormAdj.from_graph).
 
     ``cache_dir=None`` builds directly. The fingerprint covers the RAW
@@ -186,13 +187,16 @@ def load_or_build(cache_dir: Optional[str], g, src, dst, norm_w, *,
     # the key must cover the EFFECTIVE residual geometry: the per-mode
     # RESID_GEOMS defaults are chip-swept constants, and a stale hit after
     # they change would silently pin the old kernel shape
-    resid_geom = resid_geometry(compute_dtype, RESID_F32_MODE) + (
-        RESID_F32_MODE,)
+    if resid_f32_mode is None:
+        resid_f32_mode = RESID_F32_MODE
+    resid_geom = resid_geometry(compute_dtype, resid_f32_mode) + (
+        resid_f32_mode,)
     if cache_dir is None:
         return build_hybrid_plan(
             src, dst, norm_w, g.n_nodes, hot_k=hot_k,
             compute_dtype=compute_dtype, fused=fused, resid_mode=resid_mode,
             batch=batch, validate=validate, h_hint=h_hint,
+            resid_f32_mode=resid_f32_mode,
         )
     fp = graph_fingerprint(
         np.asarray(g.edge_src), np.asarray(g.edge_dst),
@@ -206,7 +210,7 @@ def load_or_build(cache_dir: Optional[str], g, src, dst, norm_w, *,
     plan = build_hybrid_plan(
         src, dst, norm_w, g.n_nodes, hot_k=hot_k, compute_dtype=compute_dtype,
         fused=fused, resid_mode=resid_mode, batch=batch, validate=validate,
-        h_hint=h_hint,
+        h_hint=h_hint, resid_f32_mode=resid_f32_mode,
     )
     if plan is not None:
         save_plan(cache_dir, key, plan)

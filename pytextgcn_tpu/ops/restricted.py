@@ -81,22 +81,24 @@ class RestrictedAdj:
     floor_spmm_ns: float = 0.0
 
 
-def _resid_geom(compute_dtype="float32") -> dict:
+def _resid_geom(compute_dtype="float32", f32_mode=None) -> dict:
     """Residual tile-plan geometry kwargs (the chip-swept per-mode
     RESID_GEOMS shared with ops/hybrid.py — probe_resid_kernel.py)."""
     from .spmm_pallas import RESID_F32_MODE, resid_geometry
 
-    rb, et = resid_geometry(compute_dtype, RESID_F32_MODE)
-    return dict(row_block=rb, edge_tile=et, f32_mode=RESID_F32_MODE)
+    if f32_mode is None:
+        f32_mode = RESID_F32_MODE
+    rb, et = resid_geometry(compute_dtype, f32_mode)
+    return dict(row_block=rb, edge_tile=et, f32_mode=f32_mode)
 
 
 def _padded_slots(dst_local: np.ndarray, m: int,
-                  compute_dtype="float32") -> int:
+                  compute_dtype="float32", f32_mode=None) -> int:
     """Exact slot count a tile plan would allocate for these edges: per
     residual row block, edges round up to the residual edge tile (and every
     block pays at least one tile). The restricted head's residuals are
     small enough that this padding — not the raw edge count — is the cost."""
-    geom = _resid_geom(compute_dtype)
+    geom = _resid_geom(compute_dtype, f32_mode)
     rb, et = geom["row_block"], geom["edge_tile"]
     n_blocks = max(1, -(-m // rb))
     counts = np.bincount(dst_local // rb, minlength=n_blocks)
@@ -110,6 +112,7 @@ def build_restricted_adj(
     hot_k=None,
     compute_dtype: str = "float32",
     resid_mode: str = "auto",
+    resid_f32_mode: str = None,
 ) -> RestrictedAdj:
     """Host-side build. ``rows``: sorted unique global node ids (the train
     rows). ``hot_k``: as in ops/hybrid.py ('auto' = cost model over the
@@ -117,7 +120,8 @@ def build_restricted_adj(
     'pallas' | 'segment' | 'auto' — the src-cold residual of a restricted
     head is typically a few hundred k edges, where the segment path's
     per-row gather beats the tile kernel's block padding; 'auto' picks by
-    modeled cost."""
+    modeled cost. ``resid_f32_mode``: 'highest' | 'split2' residual MXU
+    strategy (None = RESID_F32_MODE, see ops/spmm_pallas.py)."""
     from .hybrid import (
         _EDGE_NS,
         _GATHER_NS,
@@ -148,7 +152,8 @@ def build_restricted_adj(
         padded slot count and the segment path (measured on-chip at ~4x the
         raw gather issue rate once the scatter half and launch overheads
         are in — probe_restricted.py)."""
-        pallas_ns = _padded_slots(dst_l, m, compute_dtype) * _EDGE_NS
+        pallas_ns = _padded_slots(
+            dst_l, m, compute_dtype, resid_f32_mode) * _EDGE_NS
         segment_ns = n_edges * 4 * _GATHER_NS
         return min(pallas_ns, segment_ns)
 
@@ -207,22 +212,29 @@ def build_restricted_adj(
         if n_resid:
             use_tiles = resid_mode == "pallas" or (
                 resid_mode == "auto"
-                and _padded_slots(r_dst[csel], m, compute_dtype) * _EDGE_NS
+                and _padded_slots(
+                    r_dst[csel], m, compute_dtype, resid_f32_mode) * _EDGE_NS
                 < n_resid * 2 * _GATHER_NS
             )
             if use_tiles:
                 res_fwd = _build_tile_plan(
-                    r_src[csel], r_dst[csel], r_w[csel], m, **_resid_geom(compute_dtype))
+                    r_src[csel], r_dst[csel], r_w[csel], m,
+                    **_resid_geom(compute_dtype, resid_f32_mode))
                 res_bwd = _build_tile_plan(
-                    r_dst[csel], r_src[csel], r_w[csel], n, **_resid_geom(compute_dtype))
+                    r_dst[csel], r_src[csel], r_w[csel], n,
+                    **_resid_geom(compute_dtype, resid_f32_mode))
             else:
                 seg_src = jnp.asarray(r_src[csel], jnp.int32)
                 seg_dst = jnp.asarray(r_dst[csel], jnp.int32)
                 seg_w = jnp.asarray(r_w[csel], jnp.float32)
         floor = m * k * itemsize / _HBM_BPS * 1e9 + n_resid * _GATHER_NS
     elif use_pallas and resid_mode != "segment":
-        res_fwd = _build_tile_plan(r_src, r_dst, r_w, m, **_resid_geom(compute_dtype))
-        res_bwd = _build_tile_plan(r_dst, r_src, r_w, n, **_resid_geom(compute_dtype))
+        res_fwd = _build_tile_plan(
+            r_src, r_dst, r_w, m,
+            **_resid_geom(compute_dtype, resid_f32_mode))
+        res_bwd = _build_tile_plan(
+            r_dst, r_src, r_w, n,
+            **_resid_geom(compute_dtype, resid_f32_mode))
     else:
         seg_src = jnp.asarray(r_src, jnp.int32)
         seg_dst = jnp.asarray(r_dst, jnp.int32)

@@ -42,6 +42,7 @@ class Trainer:
         step_cache: Optional[dict] = None,
         hybrid_k=None,
         hybrid_fused: Optional[bool] = None,
+        hybrid_f32_mode: Optional[str] = None,
         pallas_dtype: str = "float32",
         halo: bool = False,
         tp_mesh=None,
@@ -74,6 +75,9 @@ class Trainer:
         self.use_pallas = use_pallas
         self.hybrid_k = hybrid_k  # dense-hot SpMM decomposition (ops/hybrid.py)
         self.hybrid_fused = hybrid_fused  # one-pass-over-D kernel (None = backend default)
+        # residual f32 MXU strategy: 'highest' | 'split2' (None = module
+        # default RESID_F32_MODE; see ops/spmm_pallas.py)
+        self.hybrid_f32_mode = hybrid_f32_mode
         # compute dtype of the hybrid/Pallas aggregation ('bfloat16' is ~2x
         # faster on chip; params/optimizer/loss stay f32 — see RESULTS.md)
         self.pallas_dtype = pallas_dtype
@@ -232,6 +236,7 @@ class Trainer:
                     hybrid_fused=self.hybrid_fused,
                     pallas_dtype=self.pallas_dtype,
                     plan_cache=self.plan_cache,
+                    hybrid_f32_mode=self.hybrid_f32_mode,
                 )
             self._adj_edge_src = g.edge_src
             self._adj_edge_w = g.edge_w
@@ -291,6 +296,7 @@ class Trainer:
                     use_pallas=self.use_pallas or hk is not None,
                     hot_k="auto" if hk is not None else None,
                     compute_dtype=self.pallas_dtype,
+                    resid_f32_mode=self.hybrid_f32_mode,
                 )
             self._adj_out_edge_src = g.edge_src
             self._adj_out_mask = g.train_mask

@@ -378,3 +378,36 @@ def test_choose_hot_k_batch_monotone():
     assert denseb <= b * dense1 * (1 + 1e-9)
     if denseb < b * dense1:  # byte-bound anywhere -> strictly sublinear
         assert cb < b * c1
+
+
+def test_hybrid_split2_trajectory_tracks_segment():
+    """'split2' residual mode (two exact-one-hot bf16 passes, ~3e-6 max rel
+    error per SpMM — probe_resid_kernel.py) must track the segment-f32
+    oracle's *training trajectory*, not just a single forward: same init,
+    dropout 0, per-epoch losses and final parameters within float-noise
+    accumulation. This is what licenses bench.py to count the split2 step
+    as a parity-class f32 path."""
+    from pytextgcn_tpu.models import GCN
+    from pytextgcn_tpu.train import Trainer
+
+    g = _rand_graph(seed=11)
+
+    def mk(**kw):
+        return Trainer(GCN(g.in_dim, 3, n_hidden_gcn=16, dropout=0.0),
+                       seed=3, **kw)
+
+    t_seg = mk()
+    t_s2 = mk(hybrid_k=128, hybrid_f32_mode="split2")
+    h_seg = t_seg.fit(g, epochs=15, n_classes=3)
+    h_s2 = t_s2.fit(g, epochs=15, n_classes=3)
+    # the knob must actually reach the residual tile plans
+    assert t_s2._adj.plan.res_fwd is not None
+    assert t_s2._adj.plan.res_fwd.f32_mode == "split2"
+    np.testing.assert_allclose(
+        [r["loss"] for r in h_seg], [r["loss"] for r in h_s2],
+        rtol=1e-3, atol=1e-5,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(t_seg.params),
+                    jax.tree_util.tree_leaves(t_s2.params)):
+        scale = max(float(np.abs(np.asarray(a)).max()), 1e-6)
+        assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) / scale < 5e-3
