@@ -40,6 +40,10 @@ def main(argv=None):
     ap.add_argument("--geoms", nargs="+",
                     default=["256x1024", "128x1024", "128x512", "256x512"])
     ap.add_argument("--modes", nargs="+", default=["highest", "split2"])
+    ap.add_argument("--grad", action="store_true",
+                    help="time one fwd + one transposed (VJP) application "
+                    "per iteration instead of fwd only — the train step's "
+                    "actual usage (2 fwd + 2 bwd residuals per step)")
     args = ap.parse_args(argv)
 
     import bench
@@ -76,6 +80,16 @@ def main(argv=None):
             @jax.jit
             def many(x, fwd, bwd):
                 def f(x, _):
+                    if args.grad:
+                        # one fwd + one transposed application per iteration
+                        # (the custom VJP applies `bwd` to the cotangent) —
+                        # the step's actual usage shape
+                        val, g = jax.value_and_grad(
+                            lambda x: _spmm_pallas(
+                                x, fwd, bwd, jnp.float32).sum()
+                        )(x)
+                        return (x + 1e-12 * val + 1e-12 * g[:1, :1].sum()
+                                ).astype(x.dtype), None
                     out = _spmm_pallas(x, fwd, bwd, jnp.float32)
                     return (x + 1e-12 * out[:1, :1].sum()).astype(x.dtype), None
 
