@@ -20,6 +20,7 @@ Prints exactly one JSON line on stdout; progress goes to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -193,6 +194,14 @@ def bench_scale(g, variants):
 def main():
     import jax
 
+    # persistent XLA compile cache: cross-PROCESS warm runs skip the
+    # remote-compile service (measured 54 s -> 1.6 s for a first jit on
+    # the tunneled backend; compiled programs are keyed by HLO, so plan
+    # shapes from .plan_cache line up with their cached executables)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     on_accel = jax.default_backend() in ("tpu", "axon")
     scales = SCALES if on_accel else [2_000]
