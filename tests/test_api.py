@@ -147,3 +147,24 @@ def test_sharding_args_mapping():
 
     with pytest.raises(SystemExit):
         sharding_args(dataclasses.replace(cfg, sharding="bogus"), None)
+
+
+def test_compile_cache_config(tmp_path):
+    """parse_config wires the persistent XLA compile cache (measured 54 s
+    -> 1.6 s for a first jit across processes on the tunneled backend);
+    '' / 'none' disables without touching an already-set directory."""
+    import jax
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        cache = str(tmp_path / "xc")
+        parse_config(["--train-compile-cache", cache])
+        assert jax.config.jax_compilation_cache_dir == cache
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.5
+        # disabling leaves the previous setting alone (idempotent drivers)
+        parse_config(["--train-compile-cache", ""])
+        assert jax.config.jax_compilation_cache_dir == cache
+        parse_config(["--train-compile-cache", "none"])
+        assert jax.config.jax_compilation_cache_dir == cache
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
