@@ -13,6 +13,10 @@ import dataclasses
 import os
 from typing import List, Optional, Union
 
+# repo root (parent of the package dir): anchors relative cache paths so
+# drivers launched from any cwd share one compile cache
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 @dataclasses.dataclass
 class GraphConfig:
@@ -190,12 +194,18 @@ def parse_config(argv=None, cfg: Optional[ExperimentConfig] = None) -> Experimen
     if isinstance(cfg.graph.max_length, str):
         cfg.graph.max_length = int(cfg.graph.max_length)
     if cfg.train.compile_cache:
-        # idempotent, applies to every driver going through parse_config;
-        # '' / --train-compile-cache "" disables
+        # idempotent, applies to every driver going through parse_config.
+        # '' / 'none' means "leave as-is": it skips this block without
+        # clearing a cache dir already set earlier in the process (a jax
+        # config update can't be un-done per-driver). A relative path is
+        # anchored at the repo root, not cwd, so every driver shares one
+        # cache regardless of where it was launched from (advisor r4).
         import jax
 
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.abspath(cfg.train.compile_cache))
+        path = cfg.train.compile_cache
+        if not os.path.isabs(path):
+            path = os.path.join(_REPO_ROOT, path)
+        jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     return cfg
 

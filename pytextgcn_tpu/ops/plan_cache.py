@@ -26,7 +26,7 @@ import numpy as np
 
 _FORMAT_VERSION = 2  # v2: TilePlan geometry (row_block/edge_tile) + f32_mode
 
-_F32_MODES = ("highest", "split2")
+from .spmm_pallas import F32_MODES as _F32_MODES  # single source of truth
 
 
 def graph_fingerprint(src: np.ndarray, dst: np.ndarray, w: np.ndarray,

@@ -52,13 +52,22 @@ RESID_GEOMS = {"highest": (128, 256), "split2": (256, 512),
                "bf16": (256, 512)}
 RESID_ROW_BLOCK, RESID_EDGE_TILE = RESID_GEOMS["highest"]
 RESID_F32_MODE = "highest"
+F32_MODES = ("highest", "split2")  # valid resid_f32_mode values
 
 
 def resid_geometry(compute_dtype, f32_mode: str):
     """Chip-swept residual tile geometry ``(row_block, edge_tile)`` for
-    this compute mode (see RESID_GEOMS above; bf16 plans ignore f32_mode)."""
-    key = ("bf16" if jnp.dtype(compute_dtype) == jnp.bfloat16 else f32_mode)
-    return RESID_GEOMS.get(key, (RESID_ROW_BLOCK, RESID_EDGE_TILE))
+    this compute mode (see RESID_GEOMS above; bf16 plans ignore f32_mode).
+
+    Raises on an unknown f32 mode up front: a silent fallback here would
+    run the 'highest' kernel under the wrong label and only crash much
+    later in plan-cache serialization (advisor r4)."""
+    if jnp.dtype(compute_dtype) == jnp.bfloat16:
+        return RESID_GEOMS["bf16"]
+    if f32_mode not in F32_MODES:
+        raise ValueError(
+            f"resid_f32_mode must be one of {F32_MODES}, got {f32_mode!r}")
+    return RESID_GEOMS[f32_mode]
 
 
 def _use_interpret() -> bool:

@@ -258,9 +258,9 @@ class Trainer:
             return
         if (
             (self.use_pallas, self.hybrid_k, self.hybrid_fused, self.halo,
-             self.pallas_dtype, self.mesh) !=
+             self.pallas_dtype, self.hybrid_f32_mode, self.mesh) !=
             (other.use_pallas, other.hybrid_k, other.hybrid_fused, other.halo,
-             other.pallas_dtype, other.mesh)
+             other.pallas_dtype, other.hybrid_f32_mode, other.mesh)
         ):
             return
         self._adj = other._adj

@@ -156,6 +156,7 @@ def test_compile_cache_config(tmp_path):
     import jax
 
     before = jax.config.jax_compilation_cache_dir
+    before_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
         cache = str(tmp_path / "xc")
         parse_config(["--train-compile-cache", cache])
@@ -166,5 +167,13 @@ def test_compile_cache_config(tmp_path):
         assert jax.config.jax_compilation_cache_dir == cache
         parse_config(["--train-compile-cache", "none"])
         assert jax.config.jax_compilation_cache_dir == cache
+        # a RELATIVE cache path anchors at the repo root, not cwd
+        parse_config(["--train-compile-cache", "relcache"])
+        from pytextgcn_tpu.config import _REPO_ROOT
+
+        assert jax.config.jax_compilation_cache_dir == os.path.join(
+            _REPO_ROOT, "relcache")
     finally:
         jax.config.update("jax_compilation_cache_dir", before)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          before_min)

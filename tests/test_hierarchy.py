@@ -96,3 +96,25 @@ def test_ensemble_members_share_adjacency(hier_corpus):
     )
     adjs = {id(t._adj) for t in ens["trainers"]}
     assert len(adjs) == 1
+
+
+def test_share_adjacency_guard_includes_f32_mode():
+    """share_adjacency must refuse a donor with a different hybrid_f32_mode:
+    a 'split2' trainer silently adopting a 'highest' plan (or vice versa)
+    would defeat the knob's numeric contract (advisor r4, medium)."""
+    from pytextgcn_tpu.models import GCN
+    from pytextgcn_tpu.train.trainer import Trainer
+
+    model = GCN(8, 2, n_hidden_gcn=4)
+    donor = Trainer(model, hybrid_k=16, hybrid_f32_mode="highest")
+    donor._adj = object()  # stand-in for a prepared operator
+    donor._adj_edge_src = donor._adj_edge_w = None
+    donor._adj_n_nodes = 0
+
+    taker = Trainer(model, hybrid_k=16, hybrid_f32_mode="split2")
+    taker.share_adjacency(donor)
+    assert taker._adj is None  # refused: mode differs
+
+    same = Trainer(model, hybrid_k=16, hybrid_f32_mode="highest")
+    same.share_adjacency(donor)
+    assert same._adj is donor._adj  # accepted: settings match

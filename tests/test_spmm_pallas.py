@@ -132,8 +132,10 @@ def test_resid_geometry_resolves_per_mode():
     """Per-mode residual geometry (chip-swept, probe_resid_kernel.py):
     'highest' wants a small row block (its 3 passes make row_block the flop
     knob), split2/bf16 share the cheaper-pass winner; bf16 plans ignore the
-    f32 mode entirely; unknown modes fall back to the 'highest' defaults."""
+    f32 mode entirely; an unknown f32 mode raises up front instead of
+    silently running the 'highest' path under the wrong label (advisor r4)."""
     import jax.numpy as jnp
+    import pytest
 
     from pytextgcn_tpu.ops import spmm_pallas as sp
 
@@ -141,5 +143,5 @@ def test_resid_geometry_resolves_per_mode():
     assert sp.resid_geometry("float32", "split2") == sp.RESID_GEOMS["split2"]
     assert sp.resid_geometry(jnp.bfloat16, "highest") == sp.RESID_GEOMS["bf16"]
     assert sp.resid_geometry(jnp.bfloat16, "split2") == sp.RESID_GEOMS["bf16"]
-    assert sp.resid_geometry("float32", "nonesuch") == (
-        sp.RESID_ROW_BLOCK, sp.RESID_EDGE_TILE)
+    with pytest.raises(ValueError, match="resid_f32_mode"):
+        sp.resid_geometry("float32", "nonesuch")
