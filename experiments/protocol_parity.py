@@ -101,6 +101,17 @@ def remask(g, protocol: str, n_train: int, n_val: int, seed: int):
     )
 
 
+def jax_category(args) -> str:
+    """Row tag for the jax side: non-default numeric paths get their own
+    category so licensing runs don't masquerade as the exact-'highest'
+    baseline rows ('jax-bf16', 'jax-split2')."""
+    if args.pallas_dtype == "bfloat16":
+        return "jax-bf16"
+    if args.hybrid_f32_mode != "highest":
+        return f"jax-{args.hybrid_f32_mode}"
+    return "jax"
+
+
 def run_hierarchy(args, p, g, level_labels, n_train, n_val, n_classes):
     """Protocol-scale hierarchy runs (perlevel_amazon.py / perlabel_amazon.py
     semantics) through the framework's cascade/ensemble pipelines."""
@@ -113,6 +124,7 @@ def run_hierarchy(args, p, g, level_labels, n_train, n_val, n_classes):
     )
     tkw = {"use_pallas": args.use_pallas, "hybrid_k": hk,
            "pallas_dtype": args.pallas_dtype,
+           "hybrid_f32_mode": args.hybrid_f32_mode,
            "plan_cache": args.plan_cache or None}
     hier_name = "per-level" if args.hierarchy == "perlevel" else "per-label"
     rows = []
@@ -152,7 +164,8 @@ def run_hierarchy(args, p, g, level_labels, n_train, n_val, n_classes):
             append_result(args.out, seed=seed, model=args.model.upper(),
                           hierarchy=hier_name,
                           f1_macro=m["f1_macro"], accuracy=m["accuracy"],
-                          dataset=f"synthetic-{args.protocol}", category="jax")
+                          dataset=f"synthetic-{args.protocol}",
+                          category=jax_category(args))
         if args.frameworks in ("both", "torch"):
             from torch_reference import train_torch_perlabel, train_torch_perlevel
 
@@ -277,6 +290,13 @@ def main(argv=None):
         "~2x faster on chip — this flag exists to validate its accuracy at "
         "protocol scale; params/optimizer stay f32)",
     )
+    ap.add_argument(
+        "--hybrid-f32-mode", choices=["highest", "split2"], default="highest",
+        help="f32 residual MXU strategy for the hybrid path (see "
+        "ops/spmm_pallas.py) — 'split2' rows are tagged 'jax-split2' in the "
+        "category column so the licensing run is distinguishable from the "
+        "exact-'highest' rows (VERDICT r4 item 3)",
+    )
     ap.add_argument("--corpus-set", nargs="*", default=[], metavar="KEY=VAL",
                     help="protocol_corpus overrides (calibration sweeps; "
                     "final protocol runs use the calibrated defaults)")
@@ -328,6 +348,7 @@ def main(argv=None):
             )
             tr = Trainer(model, lr=p["lr"], seed=seed, use_pallas=args.use_pallas,
                          hybrid_k=hk, pallas_dtype=args.pallas_dtype,
+                         hybrid_f32_mode=args.hybrid_f32_mode,
                          plan_cache=args.plan_cache or None,
                          step_cache=step_cache,
                          optimizer=None if args.jax_optimizer == "default"
@@ -357,7 +378,8 @@ def main(argv=None):
             append_result(args.out, seed=seed, model=args.model.upper(),
                           hierarchy="flat",
                           f1_macro=m["f1_macro"], accuracy=m["accuracy"],
-                          dataset=f"synthetic-{args.protocol}", category="jax")
+                          dataset=f"synthetic-{args.protocol}",
+                          category=jax_category(args))
         if args.frameworks in ("both", "torch"):
             from torch_reference import train_torch_reference
 

@@ -7,6 +7,56 @@ import pytest
 from pytextgcn_tpu.data.synthetic import protocol_corpus
 
 
+def test_pinned_corpus_fingerprint():
+    """The r4-pinned corpus IS the basis of every protocol-parity row
+    (docs/protocol_results.csv): pin the calibrated knob dicts and a content
+    hash of the emitted doc/label stream so a data/synthetic.py edit cannot
+    silently shift every published comparison (VERDICT r4 item 9). The hash
+    is computed at n_docs=2000 — the generator draws one shared RNG stream,
+    so any knob or generator change perturbs the stream at every size. At
+    protocol scale (n_docs=50000, amazon) this corpus builds the graph every
+    parity row ran on: N=77920 (vocab 27920) E=13918540 (r5 run log)."""
+    import hashlib
+
+    from pytextgcn_tpu.data.synthetic import PROTOCOL_CFGS
+
+    assert PROTOCOL_CFGS["amazon"] == dict(
+        levels=(6, 43),
+        n_background=40_000, pool_size=600, bg_alpha=1.07,
+        mix=(0.795, 0.025, 0.18),
+        child_alpha=1.3,
+        log_len=3.75, sig_len=0.45, min_len=12, max_len=220,
+        train_frac=0.8, val_frac=0.0,
+        leaf_tilt=1.24, leaf_vocab_size=0, label_noise=0.0,
+        leaf_alias=0.78, alias_tilt=1.28, prior_alpha=1.2,
+    )
+    assert PROTOCOL_CFGS["dbpedia"] == dict(
+        levels=(9, 70, 219),
+        n_background=30_000, pool_size=220, bg_alpha=1.05,
+        mix=(0.62, 0.13, 0.13, 0.12),
+        child_alpha=1.15,
+        log_len=3.6, sig_len=0.35, min_len=10, max_len=120,
+        train_frac=0.75, val_frac=0.10,
+        leaf_tilt=1.15, leaf_vocab_size=10, label_noise=0.04,
+        leaf_alias=0.0, alias_tilt=None, prior_alpha=3.0,
+    )
+
+    pinned = {"amazon": "4a41f97d56f931e4e29c208a88c5439d",
+              "dbpedia": "4e8c46ae5f3cdb6637b1c27d18de2cf5"}
+    for proto, want in pinned.items():
+        docs, labels, _, _ = protocol_corpus(proto, n_docs=2000)
+        h = hashlib.blake2b(digest_size=16)
+        for d in docs:
+            h.update(d.encode())
+            h.update(b"\0")
+        for lab in labels:
+            h.update(np.ascontiguousarray(lab).tobytes())
+        assert h.hexdigest() == want, (
+            f"{proto} corpus stream changed — every protocol-parity row in "
+            f"docs/protocol_results.csv is keyed to the r4 pin; recalibrate "
+            f"deliberately and update this pin + RESULTS.md, or revert")
+
+
 def test_unknown_override_rejected():
     with pytest.raises(TypeError, match="unknown protocol_corpus overrides"):
         protocol_corpus("amazon", n_docs=50, typo_knob=1.0)
