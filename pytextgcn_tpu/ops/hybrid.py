@@ -64,7 +64,7 @@ _GATHER_NS = 2.34
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["hot_ids", "d_full", "a_hh", "res_fwd", "res_bwd",
+    data_fields=["hot_ids", "d_full", "d_lo", "a_hh", "res_fwd", "res_bwd",
                  "seg_src", "seg_dst", "seg_w"],
     meta_fields=["n_nodes", "k", "compute_dtype", "fused", "predicted_spmm_ns",
                  "floor_spmm_ns", "n_resid"],
@@ -90,6 +90,7 @@ class HybridPlan:
 
     hot_ids: jax.Array
     d_full: jax.Array
+    d_lo: Optional[jax.Array]  # bf16 low half when the dense split is on
     a_hh: jax.Array
     res_fwd: Optional[object]
     res_bwd: Optional[object]
@@ -182,17 +183,28 @@ def choose_hot_k(src, n_nodes: int, h: int = 128, itemsize: int = 4,
     return best_k
 
 
-@partial(jax.jit, static_argnames=("n_rows", "k", "compute_dtype"))
+@partial(jax.jit, static_argnames=("n_rows", "k", "compute_dtype", "split"))
 def _scatter_dense_block(dst_sel, rank_sel, w_sel, hot_ids, *, n_rows, k,
-                         compute_dtype):
+                         compute_dtype, split=False):
     """Device-side accumulation of D[n, k] = sum w(hot_k -> n) + its hot
     rows; dtype cast happens on device too (host bf16 conversion of a
     677 MB block costs ~30 s via ml_dtypes). ``n_rows`` >= n_nodes: under
     the fused kernel D is built with rows zero-padded to the block
-    multiple, so no per-application pad-copy is ever needed."""
+    multiple, so no per-application pad-copy is ever needed. ``split``:
+    emit ``(d_hi, d_lo, a_hh)`` for the split-fused dense path
+    (ops/fused_dual.fused_dual_split) — the bf16 pair carries D to ~2^-18
+    relative, and a_hh stays the f32 reconstruction hi+lo so the hot-hot
+    correction is consistent with the D the kernel actually applies."""
     d_full = jnp.zeros((n_rows, k), jnp.float32)
     d_full = d_full.at[dst_sel, rank_sel].add(w_sel)
     a_hh = jnp.take(d_full, hot_ids, axis=0)
+    if split:
+        from .fused_dual import split_bf16
+
+        d_hi, d_lo = split_bf16(d_full)
+        a_hh = (jnp.take(d_hi, hot_ids, axis=0).astype(jnp.float32)
+                + jnp.take(d_lo, hot_ids, axis=0).astype(jnp.float32))
+        return d_hi, d_lo, a_hh
     cd = jnp.dtype(compute_dtype)
     return d_full.astype(cd), a_hh.astype(cd)
 
@@ -282,6 +294,7 @@ def build_hybrid_plan(
     resid_row_block: Optional[int] = None,
     resid_edge_tile: Optional[int] = None,
     resid_f32_mode: Optional[str] = None,
+    dense_split: Optional[bool] = None,
 ) -> Optional[HybridPlan]:
     """Host-side construction. ``hot_k``: int (0 = disabled), or 'auto' to
     pick by cost model (returns None if the model says pure-Pallas wins).
@@ -300,11 +313,22 @@ def build_hybrid_plan(
     ``resid_edge_tile`` / ``resid_f32_mode``: tile geometry + f32 MXU
     strategy for the cold-cold residual kernel (None = the chip-swept
     RESID_* defaults in ops/spmm_pallas.py —
-    experiments/probe_resid_kernel.py)."""
+    experiments/probe_resid_kernel.py). ``dense_split``: route the dense
+    pair through the hi/lo bf16 split-fused kernel
+    (ops/fused_dual.fused_dual_split — split2 precision class, reads the
+    D pair once, DEFAULT-precision bf16 MXU passes). None resolves to the
+    chip-validated default: on under f32 'split2' mode (where the
+    residual already carries the same precision license), off otherwise."""
     from .spmm_pallas import RESID_F32_MODE, _build_tile_plan, resid_geometry
 
     if resid_f32_mode is None:
         resid_f32_mode = RESID_F32_MODE
+    if dense_split is None:
+        dense_split = (
+            jnp.dtype(compute_dtype) == jnp.float32
+            and resid_f32_mode == "split2"
+        )
+    dense_split = bool(dense_split) and jnp.dtype(compute_dtype) == jnp.float32
     geom = resid_geometry(compute_dtype, resid_f32_mode)
     if resid_row_block is None:
         resid_row_block = geom[0]
@@ -369,25 +393,34 @@ def build_hybrid_plan(
                 return None
             raise
 
-    # the fused kernel wants row-block-aligned D; build it padded (zero
-    # rows), never pad-copy the built block afterwards
-    n_rows = -(-n_nodes // 512) * 512 if fused else n_nodes
+    # the fused/split kernels want row-block-aligned D; build it padded
+    # (zero rows), never pad-copy the built block afterwards
+    n_rows = -(-n_nodes // 512) * 512 if (fused or dense_split) else n_nodes
 
     sel = src_hot
+    d_lo = None
     if jax.default_backend() == "cpu":
         # Host accumulation (XLA CPU scatter is ~40x slower than host code)
         d_host = dense_block_host(dst[sel], hot_rank[src[sel]], w[sel],
                                   n_rows, k)
-        cd = jnp.dtype(compute_dtype)
-        d_full = jnp.asarray(d_host, cd)
-        a_hh = jnp.asarray(d_host[hot_ids], cd)
+        if dense_split:
+            from .fused_dual import split_bf16
+
+            d_full, d_lo = split_bf16(jnp.asarray(d_host))
+            a_hh = jnp.asarray(
+                np.asarray(d_full[hot_ids], np.float32)
+                + np.asarray(d_lo[hot_ids], np.float32))
+        else:
+            cd = jnp.dtype(compute_dtype)
+            d_full = jnp.asarray(d_host, cd)
+            a_hh = jnp.asarray(d_host[hot_ids], cd)
     else:
         # On-device accumulation: a host-side np.add.at at bench scale
         # (E~9M, K=4096 -> 677 MB) costs ~2 min on this lazily page-backed
         # host (first-touch faults), while shipping just the selected edges
         # (int32 ids + f32 weights, ~70 MB) and scatter-adding under jit is
         # seconds. Edge arrays are jit *arguments*, never constants.
-        d_full, a_hh = _scatter_dense_block(
+        blocks = _scatter_dense_block(
             jnp.asarray(dst[sel], jnp.int32),
             jnp.asarray(hot_rank[src[sel]], jnp.int32),
             jnp.asarray(w[sel]),
@@ -395,7 +428,12 @@ def build_hybrid_plan(
             n_rows=n_rows,
             k=k,
             compute_dtype=compute_dtype,
+            split=dense_split,
         )
+        if dense_split:
+            d_full, d_lo, a_hh = blocks
+        else:
+            d_full, a_hh = blocks
 
     rsel = ~src_hot & ~dst_hot
     res_fwd = res_bwd = None
@@ -437,6 +475,7 @@ def build_hybrid_plan(
     return HybridPlan(
         hot_ids=jnp.asarray(hot_ids),
         d_full=d_full,
+        d_lo=d_lo,
         a_hh=a_hh,
         res_fwd=res_fwd,
         res_bwd=res_bwd,
@@ -467,7 +506,19 @@ def spmm_hybrid(plan: HybridPlan, x: jax.Array) -> jax.Array:
     x_hot = jnp.take(xc, plan.hot_ids, axis=0)  # (K, H) — K-row gather only
 
     n = plan.n_nodes
-    if plan.fused:
+    if plan.d_lo is not None:
+        # split-fused dense pair: D as a bf16 (hi, lo) pair read once,
+        # DEFAULT-precision bf16 MXU passes (split2 class; fused_dual.py v2)
+        from .fused_dual import fused_dual_split
+        from .spmm_pallas import _use_interpret
+
+        n_rows = plan.d_full.shape[0]
+        x_in = jnp.pad(xc, ((0, n_rows - n), (0, 0))) if n_rows != n else xc
+        out, hot_in = fused_dual_split(
+            plan.d_full, plan.d_lo, x_in, x_hot, interpret=_use_interpret()
+        )
+        out = out[:n]
+    elif plan.fused:
         # both D products in one pass over D (ops/fused_dual.py); D was
         # built with rows padded to the kernel's block multiple, x pads to
         # match (cheap — x is skinny) and out slices back

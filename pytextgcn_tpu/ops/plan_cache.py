@@ -24,7 +24,7 @@ from typing import Optional
 
 import numpy as np
 
-_FORMAT_VERSION = 2  # v2: TilePlan geometry (row_block/edge_tile) + f32_mode
+_FORMAT_VERSION = 3  # v3: dense_split flag (hi/lo bf16 dense pair, r5)
 
 from .spmm_pallas import F32_MODES as _F32_MODES  # single source of truth
 
@@ -96,7 +96,8 @@ def save_plan(cache_dir: str, key: str, plan) -> str:
             [plan.predicted_spmm_ns, plan.floor_spmm_ns], np.float64
         ),
         "meta_i": np.asarray(
-            [plan.n_nodes, plan.k, int(plan.fused), plan.n_resid], np.int64
+            [plan.n_nodes, plan.k, int(plan.fused), plan.n_resid,
+             int(plan.d_lo is not None)], np.int64
         ),
         "compute_dtype": np.frombuffer(
             str(plan.compute_dtype).encode(), dtype=np.uint8
@@ -130,7 +131,9 @@ def load_plan(cache_dir: str, key: str, src, dst, norm_w):
         return None
     with np.load(path) as z:
         hot_ids = z["hot_ids"]
-        n_nodes, k, fused, n_resid = (int(v) for v in z["meta_i"])
+        meta_i = [int(v) for v in z["meta_i"]]
+        n_nodes, k, fused, n_resid = meta_i[:4]
+        dense_split = bool(meta_i[4]) if len(meta_i) > 4 else False
         predicted_ns, floor_ns = (float(v) for v in z["meta_f"])
         compute_dtype = bytes(z["compute_dtype"]).decode()
         seg_src = jnp.asarray(z["seg_src"]) if "seg_src" in z else None
@@ -145,24 +148,38 @@ def load_plan(cache_dir: str, key: str, src, dst, norm_w):
     hot_rank = np.full(n_nodes, -1, np.int64)
     hot_rank[hot_ids] = np.arange(k)
     sel = hot_rank[src] >= 0
-    n_rows = -(-n_nodes // 512) * 512 if fused else n_nodes
+    n_rows = -(-n_nodes // 512) * 512 if (fused or dense_split) else n_nodes
+    d_lo = None
     if jax.default_backend() == "cpu":
         d_host = dense_block_host(dst[sel], hot_rank[src[sel]], norm_w[sel],
                                   n_rows, k)
-        cd = jnp.dtype(compute_dtype)
-        d_full = jnp.asarray(d_host, cd)
-        a_hh = jnp.asarray(d_host[hot_ids], cd)
+        if dense_split:
+            from .fused_dual import split_bf16
+
+            d_full, d_lo = split_bf16(jnp.asarray(d_host))
+            a_hh = jnp.asarray(
+                np.asarray(d_full[hot_ids], np.float32)
+                + np.asarray(d_lo[hot_ids], np.float32))
+        else:
+            cd = jnp.dtype(compute_dtype)
+            d_full = jnp.asarray(d_host, cd)
+            a_hh = jnp.asarray(d_host[hot_ids], cd)
     else:
-        d_full, a_hh = _scatter_dense_block(
+        blocks = _scatter_dense_block(
             jnp.asarray(dst[sel], jnp.int32),
             jnp.asarray(hot_rank[src[sel]], jnp.int32),
             jnp.asarray(norm_w[sel]),
             jnp.asarray(hot_ids.astype(np.int32)),
             n_rows=n_rows, k=k, compute_dtype=compute_dtype,
+            split=dense_split,
         )
+        if dense_split:
+            d_full, d_lo, a_hh = blocks
+        else:
+            d_full, a_hh = blocks
     return HybridPlan(
         hot_ids=jnp.asarray(hot_ids.astype(np.int32)),
-        d_full=d_full, a_hh=a_hh,
+        d_full=d_full, d_lo=d_lo, a_hh=a_hh,
         res_fwd=res_fwd, res_bwd=res_bwd,
         seg_src=seg_src, seg_dst=seg_dst, seg_w=seg_w,
         n_nodes=n_nodes, k=k, compute_dtype=compute_dtype,

@@ -54,6 +54,35 @@ def test_hybrid_forward_matches_segment(k):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_hybrid_split2_dense_split_forward_and_vjp():
+    """f32 'split2' now routes the dense pair through the hi/lo bf16
+    split-fused kernel (fused_dual.py v2): the plan must carry the bf16
+    pair, and forward + VJP must match the segment-f32 oracle within the
+    split2 band (~2^-18 relative)."""
+    g = _rand_graph()
+    adj_ref = NormAdj.from_graph(g)
+    adj_h = NormAdj.from_graph(g, hybrid_k=256, hybrid_f32_mode="split2")
+    assert isinstance(adj_h.plan, HybridPlan)
+    assert adj_h.plan.d_lo is not None  # dense split engaged
+    assert adj_h.plan.d_full.dtype == jnp.bfloat16
+    assert adj_h.plan.a_hh.dtype == jnp.float32
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((g.n_nodes, 16)), jnp.float32)
+    ref = spmm_segment(adj_ref, x)
+    got = jax.jit(spmm)(adj_h, x)
+    scale = float(jnp.abs(ref).max())
+    assert float(jnp.abs(got - ref).max()) / scale < 3e-5
+
+    g_ref = jax.grad(lambda x: (spmm_segment(adj_ref, x) ** 2).sum())(x)
+    g_got = jax.grad(lambda x: (spmm(adj_h, x) ** 2).sum())(x)
+    gscale = float(jnp.abs(g_ref).max())
+    assert float(jnp.abs(g_got - g_ref).max()) / gscale < 3e-5
+
+    # 'highest' mode must NOT engage the split (exact-parity default)
+    adj_hi = NormAdj.from_graph(g, hybrid_k=256, hybrid_f32_mode="highest")
+    assert adj_hi.plan.d_lo is None
+
+
 def test_hybrid_covers_all_hot_case():
     # K large enough that no residual edges remain: pure dense decomposition
     g = _rand_graph(n_vocab=40, n_docs=40, n_edges=1200)
