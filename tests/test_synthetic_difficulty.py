@@ -29,6 +29,7 @@ def test_pinned_corpus_fingerprint():
         train_frac=0.8, val_frac=0.0,
         leaf_tilt=1.24, leaf_vocab_size=0, label_noise=0.0,
         leaf_alias=0.78, alias_tilt=1.28, prior_alpha=1.2,
+        tail_tilt=0.0,  # r5 f1-shaping knob; 0.0 == the r4 stream, bitwise
     )
     assert PROTOCOL_CFGS["dbpedia"] == dict(
         levels=(9, 70, 219),
@@ -39,6 +40,7 @@ def test_pinned_corpus_fingerprint():
         train_frac=0.75, val_frac=0.10,
         leaf_tilt=1.15, leaf_vocab_size=10, label_noise=0.04,
         leaf_alias=0.0, alias_tilt=None, prior_alpha=3.0,
+        tail_tilt=0.0,
     )
 
     pinned = {"amazon": "4a41f97d56f931e4e29c208a88c5439d",
@@ -55,6 +57,32 @@ def test_pinned_corpus_fingerprint():
             f"{proto} corpus stream changed — every protocol-parity row in "
             f"docs/protocol_results.csv is keyed to the r4 pin; recalibrate "
             f"deliberately and update this pin + RESULTS.md, or revert")
+
+
+def test_tail_tilt_weakens_rare_class_evidence_only():
+    """The macro-F1 shaping knob (VERDICT r4 item 4): tail_tilt > 0 must
+    (a) leave the label stream unchanged (labels draw before token kinds),
+    (b) cut the leaf-evidence token share of RARE classes while leaving the
+    head class essentially untouched — the acc >> f1 failure profile."""
+    d0, l0, *_ = protocol_corpus("amazon", n_docs=3000)
+    d1, l1, *_ = protocol_corpus("amazon", n_docs=3000, tail_tilt=0.6)
+    leaf = np.asarray(l0[-1])
+    assert np.array_equal(leaf, np.asarray(l1[-1]))
+
+    cnt = np.bincount(leaf, minlength=43)
+    order = np.argsort(-cnt)
+    heads = set(order[:5].tolist())  # most frequent classes
+    tails = set(c for c in order[-15:].tolist() if cnt[c] >= 5)
+
+    def share(docs, group):
+        toks = " ".join(d for d, c in zip(docs, leaf) if c in group).split()
+        return sum(t.startswith(("alw", "t0c")) for t in toks) / len(toks)
+
+    h0, h1 = share(d0, heads), share(d1, heads)
+    t0, t1 = share(d0, tails), share(d1, tails)
+    # tail evidence materially cut; head group moves far less than tail
+    assert t0 - t1 > 0.03, (t0, t1)
+    assert t0 - t1 > 3 * abs(h1 - h0), (h0, h1, t0, t1)
 
 
 def test_unknown_override_rejected():
