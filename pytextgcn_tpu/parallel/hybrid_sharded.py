@@ -98,9 +98,24 @@ class HybridShardedAdj:
 
     @property
     def comm_rows_per_device(self) -> int:
-        """Rows on the wire per SpMM per device: the hot all_gather block,
-        the psum'd (K, H) partial, and the residual halo."""
-        return self.k_max + self.k + self.halo_res.comm_rows_per_device
+        """Rows on the wire per SpMM per device, with ring-collective
+        accounting (r5: the round-4 version counted each buffer once and
+        under-stated the hybrid mode ~2x at d>=4 — caught by the compiled-HLO
+        audit, experiments/benchmark_scaling.py --audit-comm):
+
+        * hot all_gather of the (D * k_max)-row padded buffer moves
+          (D-1) * k_max rows per device on a ring,
+        * the psum'd (K, H) partial costs 2 * K * (D-1)/D (ring
+          reduce-scatter + all-gather),
+        * the residual halo permutes exactly its boundary rows.
+
+        Still O(K + halo rows), independent of N."""
+        d = self.n_shards
+        return (
+            (d - 1) * self.k_max
+            + 2 * self.k * (d - 1) // d
+            + self.halo_res.comm_rows_per_device
+        )
 
 
 def build_hybrid_sharded_adj(

@@ -94,9 +94,12 @@ class RestrictedShardedAdj:
     @property
     def comm_rows_per_device(self) -> int:
         """Rows on the wire per restricted SpMM per device: the hot
-        all_gather block plus the residual halo (no psum'd partial — the
-        restricted form has no hot-destination term)."""
-        return self.k_max + self.halo_res.comm_rows_per_device
+        all_gather block with ring accounting ((D-1) * k_max rows — r5 fix,
+        see HybridShardedAdj.comm_rows_per_device) plus the residual halo
+        (no psum'd partial — the restricted form has no hot-destination
+        term)."""
+        return ((self.n_shards - 1) * self.k_max
+                + self.halo_res.comm_rows_per_device)
 
 
 def _choose_restricted_hot_k(
