@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..ops.adjacency import NormAdj
 from ..ops.features import NodeFeatures
-from ..ops.spmm import spmm
+from ..ops.spmm import pad_rows, spmm
 from .layers import dropout, gcnconv_init, linear_init
 
 
@@ -90,8 +90,9 @@ class GCN:
         training fast path that skips all rows the masked loss never reads
         (returns [M, out_dim] for its M rows). Evaluation passes None."""
         layers = params["layers"]
-        # layer 1: structured X @ W, then aggregate
-        h = spmm(adj, feats.matmul(layers[0]["w"])) + layers[0]["b"]
+        # layer 1: structured X @ W, then aggregate. pad_rows keeps sharded
+        # activations at the padded row count end to end (ops/spmm.py)
+        h = spmm(adj, pad_rows(adj, feats.matmul(layers[0]["w"]))) + layers[0]["b"]
         for i, layer in enumerate(layers[1:]):
             last = i == len(layers) - 2
             if self.activation is not None:
@@ -138,7 +139,7 @@ class EGCN(GCN):
         }
 
     def apply(self, params, adj, feats, *, train=False, rng=None, adj_out=None):
-        h = feats.matmul(params["embed"]["w"]) + params["embed"]["b"]
+        h = pad_rows(adj, feats.matmul(params["embed"]["w"]) + params["embed"]["b"])
         h = jax.nn.selu(h)
         if train:
             rng, sub = jax.random.split(rng)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..ops.adjacency import NormAdj
 from ..ops.features import NodeFeatures
-from ..ops.spmm import spmm
+from ..ops.spmm import pad_rows, spmm
 from .layers import bilstm_apply, bilstm_init, dropout, gcnconv_init, linear_init
 
 
@@ -62,7 +62,8 @@ class JumpingKnowledgeNetwork:
 
     def apply(self, params, adj: NormAdj, feats: NodeFeatures, *, train=False, rng=None):
         acts = []
-        h = spmm(adj, feats.matmul(params["layers"][0]["w"])) + params["layers"][0]["b"]
+        h = spmm(adj, pad_rows(adj, feats.matmul(params["layers"][0]["w"])))
+        h = h + params["layers"][0]["b"]
         if train:
             rng, sub = jax.random.split(rng)
             h = dropout(sub, h, self.dropout, train)

@@ -95,18 +95,31 @@ class ChipProbe:
     stream_bps: float = 0.0
 
     def dense_ns(self, n_nodes: int, k: int, h: int, itemsize: int,
-                 d_reads: int = 2) -> float:
+                 d_reads: int = 2, bf16_passes: int = 0) -> float:
         """Dense-half roofline term of one hybrid SpMM application, from
-        the probed ceilings (same formula as ops/hybrid.py)."""
+        the probed ceilings (same formula as ops/hybrid.py).
+        ``bf16_passes > 0``: the split-fused path — that many explicit
+        DEFAULT-precision bf16 passes per product at the bf16 MXU rate,
+        instead of the f32-HIGHEST rate."""
         dense_bytes = (d_reads * n_nodes * k + k * k) * itemsize
         dense_flops = 2 * (2 * n_nodes * k + k * k) * h
-        mxu = self.mxu_f32_fps if itemsize == 4 else self.mxu_bf16_fps
+        if bf16_passes:
+            mxu = self.mxu_bf16_fps
+            dense_flops *= bf16_passes
+        else:
+            mxu = self.mxu_f32_fps if itemsize == 4 else self.mxu_bf16_fps
         return max(dense_bytes / self.hbm_bps, dense_flops / mxu) * 1e9
 
     def hybrid_floor_ns(self, plan, h: int) -> float:
         """Probed-floor for one application of a HybridPlan: the dense
         roofline term + the cold residual at the probed gather issue rate
         (the ops/hybrid.py floor with run-time ceilings substituted)."""
+        if getattr(plan, "d_lo", None) is not None:
+            # split-fused dense: the bf16 (hi, lo) pair totals the f32
+            # byte count, is read ONCE, and runs 3 bf16 passes per product
+            dense = self.dense_ns(plan.n_nodes, plan.k, h, itemsize=4,
+                                  d_reads=1, bf16_passes=3)
+            return dense + plan.n_resid * self.gather_ns
         itemsize = 2 if str(plan.compute_dtype) == "bfloat16" else 4
         d_reads = 1 if plan.fused else 2
         return (

@@ -30,6 +30,27 @@ def spmm_segment(adj: NormAdj, x: jax.Array) -> jax.Array:
     return agg + adj.self_w[:, None] * x
 
 
+def pad_rows(adj, x: jax.Array) -> jax.Array:
+    """Pad [N, H] activations to the row-sharded family's padded row count.
+
+    The sharded appliers (halo / hybrid-sharded / restricted-sharded) are
+    same-rows-in/same-rows-out: fed ``adj.n_pad`` rows they skip their
+    internal pad AND their output slice. That slice is the expensive part —
+    ``out[:n]`` of a row-sharded array with n % devices != 0 has no
+    expressible sharding, so GSPMD re-materializes it REPLICATED with a
+    full [n_pad, H] all-gather on every SpMM (caught by the compiled-HLO
+    audit, experiments/benchmark_scaling.py --audit-comm; it doubled the
+    halo path's measured wire volume at bench scale). Models call this once
+    on the layer-1 pre-aggregation input so every sharded activation stays
+    padded end to end; the pad rows are exact zeros through every row-wise
+    op, and the trainer pads labels/masks to match (pads masked False).
+    Single-chip operators have no ``n_pad`` — identity there."""
+    n_pad = getattr(adj, "n_pad", None)
+    if n_pad is not None and x.shape[0] != n_pad:
+        x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+    return x
+
+
 def spmm(adj, x: jax.Array) -> jax.Array:
     from ..parallel.halo import HaloAdj, spmm_halo
     from ..parallel.hybrid_sharded import HybridShardedAdj, spmm_hybrid_sharded

@@ -356,6 +356,16 @@ class Trainer:
         y = jnp.asarray(g.y)
         train_mask = jnp.asarray(g.train_mask)
         val_mask = jnp.asarray(g.val_mask)
+        # row-sharded runs keep activations at adj.n_pad rows end to end
+        # (ops/spmm.pad_rows — kills the per-SpMM uneven-slice all-gather);
+        # labels/masks pad to match, pads masked False so every loss/metric
+        # term is identical to the unpadded computation
+        n_pad = getattr(adj, "n_pad", None)
+        if n_pad is not None and n_pad != g.n_nodes:
+            extra = n_pad - g.n_nodes
+            y = jnp.pad(y, (0, extra))
+            train_mask = jnp.pad(train_mask, (0, extra))
+            val_mask = jnp.pad(val_mask, (0, extra))
         adj_out = None
         if self.masked_head:
             rows = np.flatnonzero(np.asarray(g.train_mask))
@@ -597,7 +607,10 @@ class Trainer:
                 self._predict_jit = self.step_cache[key]
             else:
                 self._predict_jit = jax.jit(partial(self.model.apply, train=False))
-        return self._predict_jit(self.params, adj, feats)
+        logits = self._predict_jit(self.params, adj, feats)
+        # row-sharded applies return padded rows (ops/spmm.pad_rows)
+        n = getattr(adj, "n_nodes", logits.shape[0])
+        return logits[:n]
 
     def evaluate(self, g: TextGraph, mask=None, n_classes: Optional[int] = None):
         """Test metrics over ``mask`` (default: the graph's test_mask)."""
