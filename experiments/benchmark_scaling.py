@@ -98,7 +98,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from pytextgcn_tpu.core.graph import TextGraph
-    from pytextgcn_tpu.ops.spmm import spmm
+    from pytextgcn_tpu.ops.spmm import pad_rows, spmm
     from pytextgcn_tpu.parallel import (
         build_halo_adj,
         build_hybrid_sharded_adj,
@@ -173,7 +173,7 @@ def main(argv=None):
                 if d == 1:
                     continue
                 adj = build_halo_adj(g, mesh)
-                fn = jax.jit(lambda a, v: spmm_halo(a, v))
+                fn = jax.jit(lambda a, v: spmm_halo(a, pad_rows(a, v)))
                 comm_rows = adj.comm_rows_per_device
             else:
                 if d == 1 or hot_k == "off":
@@ -181,7 +181,8 @@ def main(argv=None):
                 adj = build_hybrid_sharded_adj(g, mesh, hot_k=hot_k)
                 if adj is None:  # cost model: no exploitable hot set
                     continue
-                fn = jax.jit(lambda a, v: spmm(a, v))
+                # padded activations, like the trainer (ops/spmm.pad_rows)
+                fn = jax.jit(lambda a, v: spmm(a, pad_rows(a, v)))
                 comm_rows = adj.comm_rows_per_device
             out = fn(adj, x)
             jax.block_until_ready(out)
