@@ -224,9 +224,18 @@ def _kernel_split(dhi_ref, dlo_ref, xhi_ref, xlo_ref, xhhi_ref, xhlo_ref,
 
 def split_bf16(a):
     """f32 -> (hi, lo) bf16 pair with ``hi + lo`` capturing ~16 significand
-    bits (relative representation error ~2^-18, the split2 class)."""
-    hi = a.astype(jnp.bfloat16)
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    bits (relative representation error ~2^-18, the split2 class).
+
+    The rounding step MUST be ``lax.reduce_precision``: the naive
+    ``a.astype(bf16).astype(f32)`` convert round-trip gets folded away by
+    XLA on real TPU backends (measured: the lo half silently became zero
+    and the chip probe saw 1.8e-3 error — one bf16 pass — instead of the
+    2e-5 split2 band; interpret mode on CPU did NOT fold, which is why
+    tests alone missed it). reduce_precision has explicit
+    rounding semantics XLA cannot elide."""
+    hi_f32 = jax.lax.reduce_precision(a, exponent_bits=8, mantissa_bits=7)
+    hi = hi_f32.astype(jnp.bfloat16)  # exact: already bf16-representable
+    lo = (a - hi_f32).astype(jnp.bfloat16)
     return hi, lo
 
 
