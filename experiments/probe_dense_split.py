@@ -85,12 +85,16 @@ def main(argv=None):
     x0 = jnp.asarray(rng.standard_normal((n, H)), jnp.float32)
     xh0 = jnp.asarray(rng.standard_normal((k, H)), jnp.float32)
 
-    def chain(step, n_ops=2):
+    def chain(step):
+        # the D operand(s) ride as jit ARGUMENTS (ops tuple): closed-over
+        # they would be embedded as constants in the remote-compile request
+        # body, which has a hard size limit on tunneled backends (measured:
+        # HTTP 413 at D=679 MB)
         @jax.jit
-        def many(x, xh):
+        def many(ops, x, xh):
             def body(carry, _):
                 x, xh = carry
-                out, hot = step(x, xh)
+                out, hot = step(ops, x, xh)
                 return ((out / n).astype(jnp.float32),
                         (hot / n).astype(jnp.float32)), None
 
@@ -114,8 +118,9 @@ def main(argv=None):
     HI = jax.lax.Precision.HIGHEST
     DE = jax.lax.Precision.DEFAULT
 
-    def xla_dual(prec, dd):
-        def f(x, xh):
+    def xla_dual(prec):
+        def f(ops, x, xh):
+            dd = ops[0]
             x = x.astype(dd.dtype)
             xh = xh.astype(dd.dtype)
             return (
@@ -128,15 +133,15 @@ def main(argv=None):
             )
         return f
 
-    t_xla = timed(chain(xla_dual(HI, d)), x0, xh0)
+    t_xla = timed(chain(xla_dual(HI)), (d,), x0, xh0)
     log(f"XLA dual f32 HIGHEST:      {t_xla*1e3:8.3f} ms/app "
         f"({2*d_bytes/t_xla/1e9:.0f} GB/s D-equiv)  <- production baseline")
-    t_bf = timed(chain(xla_dual(DE, dbf)), x0, xh0)
+    t_bf = timed(chain(xla_dual(DE)), (dbf,), x0, xh0)
     log(f"XLA dual bf16 DEFAULT:     {t_bf*1e3:8.3f} ms/app "
         f"({d_bytes/t_bf/1e9:.0f} GB/s D-equiv)  <- bf16-mode baseline")
 
-    t_v1 = timed(chain(lambda x, xh: fused_dual(
-        d, x, xh, bn=256, bk=4096, interpret=interpret)), x0, xh0)
+    t_v1 = timed(chain(lambda ops, x, xh: fused_dual(
+        ops[0], x, xh, bn=256, bk=4096, interpret=interpret)), (d,), x0, xh0)
     log(f"fused v1 f32 (256x4096):   {t_v1*1e3:8.3f} ms/app "
         f"({d_bytes/t_v1/1e9:.0f} GB/s, {t_xla/t_v1:.2f}x)")
 
@@ -145,15 +150,17 @@ def main(argv=None):
         if n % bn or k % bk:
             continue
         try:
-            t = timed(chain(lambda x, xh: fused_dual_t(
-                d, x, xh, bn=bn, bk=bk, interpret=interpret)), x0, xh0)
+            t = timed(chain(lambda ops, x, xh: fused_dual_t(
+                ops[0], x, xh, bn=bn, bk=bk, interpret=interpret)),
+                (d,), x0, xh0)
             log(f"fused_t f32 ({bn}x{bk}):   {t*1e3:8.3f} ms/app "
                 f"({d_bytes/t/1e9:.0f} GB/s, {t_xla/t:.2f}x)")
         except Exception as e:
             log(f"fused_t {bn}x{bk}: FAILED {type(e).__name__}: {e}")
         try:
-            t = timed(chain(lambda x, xh: fused_dual_split(
-                dhi, dlo, x, xh, bn=bn, bk=bk, interpret=interpret)), x0, xh0)
+            t = timed(chain(lambda ops, x, xh: fused_dual_split(
+                ops[0], ops[1], x, xh, bn=bn, bk=bk, interpret=interpret)),
+                (dhi, dlo), x0, xh0)
             log(f"fused_split ({bn}x{bk}):   {t*1e3:8.3f} ms/app "
                 f"({d_bytes/t/1e9:.0f} GB/s, {t_xla/t:.2f}x)")
         except Exception as e:
@@ -164,8 +171,9 @@ def main(argv=None):
         if n % bn or k % bk:
             continue
         try:
-            t = timed(chain(lambda x, xh: fused_dual_t(
-                dbf, x, xh, bn=bn, bk=bk, interpret=interpret)), x0, xh0)
+            t = timed(chain(lambda ops, x, xh: fused_dual_t(
+                ops[0], x, xh, bn=bn, bk=bk, interpret=interpret)),
+                (dbf,), x0, xh0)
             log(f"fused_t bf16 ({bn}x{bk}):  {t*1e3:8.3f} ms/app "
                 f"({d_bytes//2/t/1e9:.0f} GB/s, {t_bf/t:.2f}x vs XLA bf16)")
         except Exception as e:
