@@ -361,18 +361,19 @@ def _fused_split_bwd(bn, bk, interpret, res, g):
 _fused_split.defvjp(_fused_split_fwd, _fused_split_bwd)
 
 
-def fused_dual_split(dhi, dlo, x, xh, *, bn=256, bk=4096, interpret=False):
+def fused_dual_split(dhi, dlo, x, xh, *, bn=256, bk=2048, interpret=False):
     """``(D @ xh, D^T @ x)`` with D = dhi + dlo (bf16 pair), reading the pair
     once, all MXU passes native bf16 with f32 accumulation (split2-class
     precision: ~2^-18 relative, same license as the residual's split2 mode).
     Pads N/H like :func:`fused_dual`; K must be 128-aligned and divisible by
     a legal bk (guaranteed by ops/hybrid.py's plan build for K >= 128).
 
-    Default geometry 256x4096: chip sweep (docs/probe_dense_split_r5.log,
-    N=41472 K=4096 H=128) measured 4.42 ms/app vs the XLA f32-HIGHEST dual's
-    6.09 — 1.38x on the dense pair — with 256x2048 within 5%; bigger bn
-    blocks blow the 16 MB scoped-vmem limit in the f32 variant and gain
-    nothing here (bandwidth-bound at the session's ~220 GB/s)."""
+    Default geometry 256x2048: the chip sweep winner 256x4096
+    (docs/probe_dense_split_r5.log: 4.42 ms/app vs the XLA f32-HIGHEST
+    dual's 6.09, 1.38x) fits VMEM standalone but blows the 16 MB scoped
+    limit by 3 MB once the VJP's operand set double-buffers inside a real
+    train step (bench r5a); 256x2048 is within 5% (4.64 ms/app) and
+    compiles everywhere."""
     n, k = dhi.shape
     h = x.shape[1]
     bk_ = _pick_block(k, bk)
