@@ -32,6 +32,14 @@ from pytextgcn_tpu.data.synthetic import protocol_corpus
 from pytextgcn_tpu.models import GCN
 from pytextgcn_tpu.train import Trainer
 
+# Published flat-GCN landing bands — mean (accuracy, macro-F1) over the
+# reference's seeds. BOTH are calibration targets (VERDICT r4 item 4: the
+# acc-only calibration left f1 +4 to +11 pts high; the reference's acc >>
+# f1 profile is a tail-class failure mode the corpus must reproduce).
+# amazon: /root/reference/results.csv:2,6,7 (acc .5976/.5974/.6017,
+# f1 .4179/.4287/.4265); dbpedia: results_dbpedia.csv:2,6,7.
+BANDS = {"amazon": (0.5989, 0.4243), "dbpedia": (0.8718, 0.8218)}
+
 
 def run(protocol: str, n_docs: int, seed: int, overrides: dict,
         epochs: int = 0, verbose: int = 0, hybrid_k=None,
@@ -66,6 +74,10 @@ def run(protocol: str, n_docs: int, seed: int, overrides: dict,
         "n_nodes": g.n_nodes, "n_vocab": g.n_vocab, "n_edges": g.n_edges,
         "build_s": round(build_s, 1), "train_s": round(time.time() - t0, 1),
     }
+    if protocol in BANDS:
+        acc_t, f1_t = BANDS[protocol]
+        rec["d_acc"] = round(m["accuracy"] - acc_t, 4)
+        rec["d_f1"] = round(m["f1_macro"] - f1_t, 4)
     print(json.dumps(rec), flush=True)
     return rec
 
@@ -78,6 +90,10 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=0, help="0 = protocol value")
     ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL",
                     help="protocol_corpus overrides, e.g. label_noise=0.05")
+    ap.add_argument("--sweep", metavar="KEY=V1,V2,...",
+                    help="run once per value of KEY (on top of --set) and "
+                    "print the distance of each landing to BOTH published "
+                    "bands (accuracy AND macro-F1)")
     ap.add_argument("--verbose", type=int, default=0)
     ap.add_argument("--hybrid-k", default="off",
                     help="'off' | 'auto' | int — SpMM decomposition")
@@ -92,6 +108,22 @@ def main(argv=None):
     hk = None if args.hybrid_k in ("off", "none") else (
         "auto" if args.hybrid_k == "auto" else int(args.hybrid_k)
     )
+    if args.sweep:
+        key, vals = args.sweep.split("=", 1)
+        recs = []
+        for v in vals.split(","):
+            ov = dict(overrides)
+            ov[key] = ast.literal_eval(v)
+            recs.append(run(args.protocol, n_docs, args.seed, ov,
+                            epochs=args.epochs, verbose=args.verbose,
+                            hybrid_k=hk, pallas_dtype=args.pallas_dtype))
+        if args.protocol in BANDS:
+            best = min(recs, key=lambda r: max(abs(r["d_acc"]),
+                                               abs(r["d_f1"])))
+            print(f"# closest to joint (acc, f1) band: "
+                  f"{key}={best['overrides'][key]} "
+                  f"d_acc={best['d_acc']} d_f1={best['d_f1']}", flush=True)
+        return recs
     return run(args.protocol, n_docs, args.seed, overrides,
                epochs=args.epochs, verbose=args.verbose, hybrid_k=hk,
                pallas_dtype=args.pallas_dtype)

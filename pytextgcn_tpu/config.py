@@ -60,10 +60,11 @@ class TrainConfig:
     # (ops/fused_dual.py): 'auto' = backend default, 'on'/'off' = force
     hybrid_fused: str = "auto"
     # f32 MXU strategy for the hybrid's cold residual tile kernel
-    # (ops/spmm_pallas.py): 'default' = RESID_F32_MODE ('highest', 3-pass
-    # exact), 'split2' = two exact-one-hot bf16 passes (~3e-6 max rel
-    # error per SpMM, chip-measured ~26% faster residual; trajectory-
-    # tracking pin in tests/test_spmm_hybrid.py)
+    # (ops/spmm_pallas.py): 'default' = RESID_F32_MODE ('split2' since its
+    # round-5 protocol-scale license: two exact-one-hot bf16 passes +
+    # split-fused dense pair, ~2e-5 rel, seed-for-seed identical protocol
+    # landings vs 'highest'), 'highest' = 3-pass exact f32 for
+    # strict-exactness callers
     hybrid_f32_mode: str = "default"
     # compute dtype of the hybrid/Pallas aggregation: 'float32' (parity-
     # exact) or 'bfloat16' (~2x faster on chip; params/optimizer/loss stay
