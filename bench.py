@@ -228,21 +228,24 @@ def main():
         variants = [
             ("segment f32", dict()),
             ("pallas f32", dict(use_pallas=True)),
-            ("hybrid f32", dict(hybrid_k="auto", plan_cache=PLAN_CACHE)),
+            # the library's f32 default: 'split2' since its round-5
+            # protocol-scale license (seed-for-seed identical 500-epoch
+            # flat landings vs 'highest' — RESULTS.md round 5; trajectory
+            # pin in tests/test_spmm_hybrid.py). Two exact-one-hot bf16
+            # residual passes + the hi/lo split-fused dense pair
+            # (ops/fused_dual.py), ~2e-5 relative per SpMM.
+            ("hybrid f32", dict(hybrid_k="auto", plan_cache=PLAN_CACHE,
+                                hybrid_f32_mode="split2")),
             ("hybrid f32 masked-head",
-             dict(hybrid_k="auto", plan_cache=PLAN_CACHE, masked_head=True)),
-            # split2: two exact-one-hot bf16 passes on the residual
-            # (~3e-6 max rel error per SpMM vs 'highest''s ~1e-7); counts
-            # as a parity-class f32 path because its TRAINING TRAJECTORY
-            # tracks the segment-f32 oracle (tests/test_spmm_hybrid.py::
-            # test_hybrid_split2_trajectory_tracks_segment); chip-measured
-            # ~26% faster residual (experiments/probe_resid_kernel.py)
-            ("hybrid f32.split2",
-             dict(hybrid_k="auto", plan_cache=PLAN_CACHE,
-                  hybrid_f32_mode="split2")),
-            ("hybrid f32.split2 masked-head",
              dict(hybrid_k="auto", plan_cache=PLAN_CACHE,
                   hybrid_f32_mode="split2", masked_head=True)),
+            # strict-exactness 3-pass f32 path (~1e-7), one knob away
+            ("hybrid f32.highest",
+             dict(hybrid_k="auto", plan_cache=PLAN_CACHE,
+                  hybrid_f32_mode="highest")),
+            ("hybrid f32.highest masked-head",
+             dict(hybrid_k="auto", plan_cache=PLAN_CACHE,
+                  hybrid_f32_mode="highest", masked_head=True)),
             ("hybrid bf16", dict(hybrid_k="auto", plan_cache=PLAN_CACHE,
                                  pallas_dtype="bfloat16")),
             ("hybrid bf16 masked-head",

@@ -74,8 +74,12 @@ def run(n_docs: int, seed: int, overrides: dict, protocol: str = "amazon"):
     parent_acc = accuracy_score(yte_p, par.predict(Xte))
 
     # GT-routed per-label proxy: one leaf classifier per parent, test docs
-    # routed by TRUE parent (the eval_perlabel.py:73 quirk)
-    hit = tot = 0
+    # routed by TRUE parent (the eval_perlabel.py:73 quirk). Predictions
+    # are collected globally so a macro-F1 over ALL leaf classes can be
+    # reported too (eval_perlabel.py scores the stitched global frame;
+    # the published per-label row is acc 0.718 / f1 0.527 — the f1 half
+    # is a round-5 calibration target, VERDICT r4 item 4)
+    pred_pl = np.full(len(yte_l), -1)
     for p_id in np.unique(y_par):
         tr_m = ytr_p == p_id
         te_m = yte_p == p_id
@@ -83,13 +87,13 @@ def run(n_docs: int, seed: int, overrides: dict, protocol: str = "amazon"):
             continue
         classes = np.unique(ytr_l[tr_m])
         if len(classes) == 1:
-            pred = np.full(int(te_m.sum()), classes[0])
+            pred_pl[te_m] = classes[0]
         else:
             m = _clf().fit(Xtr[tr_m], ytr_l[tr_m])
-            pred = m.predict(Xte[te_m])
-        hit += int((pred == yte_l[te_m]).sum())
-        tot += int(te_m.sum())
-    perlabel_acc = hit / max(tot, 1)
+            pred_pl[te_m] = m.predict(Xte[te_m])
+    scored = pred_pl >= 0
+    perlabel_acc = accuracy_score(yte_l[scored], pred_pl[scored])
+    perlabel_f1 = f1_score(yte_l[scored], pred_pl[scored], average="macro")
 
     rec = {
         "n_docs": n_docs, "seed": seed,
@@ -97,6 +101,7 @@ def run(n_docs: int, seed: int, overrides: dict, protocol: str = "amazon"):
         "flat": round(flat_acc, 4), "flat_f1": round(flat_f1, 4),
         "parent": round(parent_acc, 4),
         "perlabel_gt": round(perlabel_acc, 4),
+        "perlabel_f1": round(perlabel_f1, 4),
         "gain": round(perlabel_acc - flat_acc, 4),
         "factored": round(parent_acc * perlabel_acc, 4),
         "wall_s": round(time.time() - t0, 1),

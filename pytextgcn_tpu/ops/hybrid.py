@@ -51,7 +51,14 @@ import numpy as np
 # was bandwidth-bound; the single-read measurement refutes that. The model
 # only has to rank candidate K values; the zipf probe shows K=2048-4096
 # within 12% of each other, so coarse constants are fine.
-_HBM_BPS = 2.2e11
+# r5: raised from the r2-era 2.2e11 to the slope-timed D-read measurement
+# (423-437 GB/s across sessions, ops/probe.py / chip_probe.py; the r2
+# 220 GB/s number was an artifact of the pre-fix timing loop). Ranking
+# consequence at bench scale: the dense stream stops being over-priced
+# ~2x, which moves the auto-K optimum to the measured-best cell
+# (K=8192 under split2+dense_split: 6.19 ms/app vs 6.37 at 4096,
+# docs/hybrid_parts_r5.log).
+_HBM_BPS = 4.2e11
 _MXU_F32_HIGHEST = 1.45e13
 _MXU_BF16_FACTOR = 1.6  # measured bf16/f32-HIGHEST effective ratio at H=128
 _EDGE_NS = 6.0
@@ -114,7 +121,9 @@ class HybridPlan:
 
 
 def _predict_cost_ns(n_nodes: int, n_edges: int, resid_edges: int, k: int, h: int,
-                     itemsize: int, d_reads: int = 2, batch: int = 1) -> float:
+                     itemsize: int, d_reads: int = 2, batch: int = 1,
+                     dense_split: bool = False,
+                     edge_ns: float = None) -> float:
     """Rough per-SpMM cost of a K-hot decomposition (see module docstring).
     ``d_reads``: how many times the [N, K] block D streams from HBM per
     application — 2 with separate XLA matmuls, 1 under the fused dual
@@ -125,19 +134,38 @@ def _predict_cost_ns(n_nodes: int, n_edges: int, resid_edges: int, k: int, h: in
     optimum K grows with the ensemble."""
     dense_bytes = (d_reads * n_nodes * k + k * k) * itemsize
     dense_flops = 2 * (2 * n_nodes * k + k * k) * h * batch
-    mxu = _MXU_F32_HIGHEST if itemsize == 4 else _MXU_BF16_FACTOR * _MXU_F32_HIGHEST
+    if dense_split:
+        # hi/lo bf16 pair: same total bytes as f32 D (2 arrays x 2 B),
+        # read once, at the split kernel's measured effective rate
+        mxu = _MXU_SPLIT_DENSE
+    elif itemsize == 4:
+        mxu = _MXU_F32_HIGHEST
+    else:
+        mxu = _MXU_BF16_FACTOR * _MXU_F32_HIGHEST
     # memory traffic and MXU time overlap on TPU; the slower one dominates
     dense_ns = max(dense_bytes / _HBM_BPS, dense_flops / mxu) * 1e9
-    return dense_ns + resid_edges * _EDGE_NS * batch
+    return dense_ns + resid_edges * (_EDGE_NS if edge_ns is None
+                                     else edge_ns) * batch
 
 
 _PAD_FACTOR = 1.6  # measured tile-plan slot inflation over raw edge counts
+# split-fused dense pair (ops/fused_dual.fused_dual_split): effective MXU
+# rate on BASE flops (not x3 passes) — chip-measured 86.6 GFLOP in 1.66 ms
+# at N=41305 K=4096 H=128 (docs/hybrid_parts_r5.log), i.e. the pair is at
+# the HBM bandwidth floor (677 MB once at ~420 GB/s); the rate constant
+# only matters when a K candidate would push it compute-bound
+_MXU_SPLIT_DENSE = 5.2e13
+# per-slot residual rate by f32 mode: 'highest' is the original 3-pass
+# measurement; 'split2' drops to ~4.3 ns/edge (4.30 ms / 0.99M edges at
+# K=4096, docs/hybrid_parts_r5.log); bf16's single pass tracks split2
+_EDGE_NS_MODE = {"highest": _EDGE_NS, "split2": 4.3, "bf16": 4.3}
 
 
 def choose_hot_k(src, n_nodes: int, h: int = 128, itemsize: int = 4,
-                 candidates=(0, 512, 1024, 2048, 4096, 8192),
+                 candidates=(0, 512, 1024, 2048, 4096, 8192, 12288, 16384),
                  dst=None, d_reads: int = 2, batch: int = 1,
-                 segment_resid: bool = False) -> int:
+                 segment_resid: bool = False, dense_split: bool = False,
+                 edge_ns: float = _EDGE_NS) -> int:
     """Pick K minimizing the modeled SpMM cost (0 = hybrid not worth it).
 
     With ``dst`` given, the cold-cold residual is counted exactly per
@@ -161,8 +189,8 @@ def choose_hot_k(src, n_nodes: int, h: int = 128, itemsize: int = 4,
     cum = np.concatenate([[0], np.cumsum(deg[order])])
     # per-edge residual cost in _EDGE_NS units (matches build_hybrid_plan's
     # resid_slots conversion for each mode)
-    slot_factor = (4 * _GATHER_NS / _EDGE_NS) if segment_resid else _PAD_FACTOR
-    best_k, best_t = 0, e * slot_factor * _EDGE_NS * batch
+    slot_factor = (4 * _GATHER_NS / edge_ns) if segment_resid else _PAD_FACTOR
+    best_k, best_t = 0, e * slot_factor * edge_ns * batch
     for k in candidates:
         if k == 0 or k >= n_nodes:
             continue
@@ -177,7 +205,8 @@ def choose_hot_k(src, n_nodes: int, h: int = 128, itemsize: int = 4,
             cov = cum[k] / max(e, 1)
             resid = e * max(1.0 - cov, 0.0) ** 2
         t = _predict_cost_ns(n_nodes, e, resid * slot_factor, k, h, itemsize,
-                             d_reads=d_reads, batch=batch)
+                             d_reads=d_reads, batch=batch,
+                             dense_split=dense_split, edge_ns=edge_ns)
         if t < best_t:
             best_k, best_t = k, t
     return best_k
@@ -350,10 +379,14 @@ def build_hybrid_plan(
         # compute:bandwidth ratio, or sub-128 effective lanes).
         fused = False
     auto = hot_k == "auto"
+    mode_edge_ns = _EDGE_NS_MODE.get(
+        "bf16" if jnp.dtype(compute_dtype) == jnp.bfloat16 else resid_f32_mode,
+        _EDGE_NS)
     if auto:
         hot_k = choose_hot_k(src, n_nodes, h=h_hint, itemsize=itemsize, dst=dst,
-                             d_reads=1 if fused else 2, batch=batch,
-                             segment_resid=resid_mode == "segment")
+                             d_reads=1 if (fused or dense_split) else 2, batch=batch,
+                             segment_resid=resid_mode == "segment",
+                             dense_split=dense_split, edge_ns=mode_edge_ns)
     if not hot_k:  # 0/None: the decomposition is off, pure sparse path wins
         return None
     k = int(min(hot_k, n_nodes))
@@ -461,15 +494,16 @@ def build_hybrid_plan(
             seg_src = jnp.asarray(src[rsel], jnp.int32)
             seg_dst = jnp.asarray(dst[rsel], jnp.int32)
             seg_w = jnp.asarray(w[rsel], jnp.float32)
-            resid_slots = n_resid * 4 * _GATHER_NS / _EDGE_NS  # same ns units
+            resid_slots = n_resid * 4 * _GATHER_NS / mode_edge_ns  # same ns units
 
     predicted_ns = _predict_cost_ns(
         n_nodes, len(src), resid_slots, k, h_hint,
-        itemsize, d_reads=1 if fused else 2,
+        itemsize, d_reads=1 if (fused or dense_split) else 2,
+        dense_split=dense_split, edge_ns=mode_edge_ns,
     )
     floor_ns = (
         _predict_cost_ns(n_nodes, len(src), 0, k, h_hint, itemsize,
-                         d_reads=1 if fused else 2)
+                         d_reads=1 if (fused or dense_split) else 2, dense_split=dense_split)
         + n_resid * _GATHER_NS
     )
     return HybridPlan(

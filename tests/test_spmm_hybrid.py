@@ -241,15 +241,17 @@ def test_choose_hot_k_fused_monotone():
     k1 = choose_hot_k(src, g.n_nodes, h=128, dst=dst, d_reads=1)
     assert k1 >= k2 > 0
     # never costlier; strictly cheaper while the dense half is
-    # bandwidth-bound (at large K the max() flips to the MXU term and the
-    # two modes tie — fusing saves traffic, not flops)
+    # bandwidth-bound. With the r5-corrected D-read bandwidth (420 GB/s,
+    # docs/hybrid_parts_r5.log) the f32 pair at h=128 is MXU-bound at
+    # every K (the modes tie — fusing saves traffic, not flops); the
+    # strictly-cheaper regime needs a skinnier operand, e.g. h=32.
     for k in (512, 1024, 4096):
         c1 = _predict_cost_ns(g.n_nodes, len(src), 10_000, k, 128, 4, d_reads=1)
         c2 = _predict_cost_ns(g.n_nodes, len(src), 10_000, k, 128, 4, d_reads=2)
         assert c1 <= c2
-    assert _predict_cost_ns(g.n_nodes, len(src), 10_000, 512, 128, 4,
+    assert _predict_cost_ns(g.n_nodes, len(src), 10_000, 512, 32, 4,
                             d_reads=1) < _predict_cost_ns(
-        g.n_nodes, len(src), 10_000, 512, 128, 4, d_reads=2)
+        g.n_nodes, len(src), 10_000, 512, 32, 4, d_reads=2)
 
 
 def test_hybrid_fused_knob_plumbing():
@@ -282,9 +284,14 @@ def test_plan_carries_calibrated_floor():
     w, _ = gcn_normalize_np(src, dst, g.edge_w, g.n_nodes)
     plan = build_hybrid_plan(src, dst, w, g.n_nodes, hot_k=128)
     assert plan.predicted_spmm_ns > 0
-    # the floor is at least the dense half's modeled cost for the chosen K
+    # the floor is at least the dense half's modeled cost for the chosen K,
+    # priced with the SAME mode flags the plan was built with (the default
+    # f32 mode is split2 + dense_split since r5)
+    dense_split = plan.d_lo is not None
     assert plan.predicted_spmm_ns >= _predict_cost_ns(
-        g.n_nodes, len(src), 0, plan.k, 128, 4
+        g.n_nodes, len(src), 0, plan.k, 128, 4,
+        d_reads=1 if (plan.fused or dense_split) else 2,
+        dense_split=dense_split,
     )
     # a fused plan of the same K predicts no more than the two-matmul one
     plan_f = build_hybrid_plan(src, dst, w, g.n_nodes, hot_k=128, fused=True)

@@ -29,7 +29,8 @@ def test_pinned_corpus_fingerprint():
         train_frac=0.8, val_frac=0.0,
         leaf_tilt=1.24, leaf_vocab_size=0, label_noise=0.0,
         leaf_alias=0.78, alias_tilt=1.28, prior_alpha=1.2,
-        tail_tilt=0.0,  # r5 f1-shaping knob; 0.0 == the r4 stream, bitwise
+        tail_tilt=0.0,  # r5 f1-shaping knobs; 0.0 == the r4 stream, bitwise
+        tail_scope="global",
     )
     assert PROTOCOL_CFGS["dbpedia"] == dict(
         levels=(9, 70, 219),
@@ -40,7 +41,7 @@ def test_pinned_corpus_fingerprint():
         train_frac=0.75, val_frac=0.10,
         leaf_tilt=1.15, leaf_vocab_size=10, label_noise=0.04,
         leaf_alias=0.0, alias_tilt=None, prior_alpha=3.0,
-        tail_tilt=0.0,
+        tail_tilt=0.0, tail_scope="global",
     )
 
     pinned = {"amazon": "4a41f97d56f931e4e29c208a88c5439d",
