@@ -149,6 +149,11 @@ def _predict_cost_ns(n_nodes: int, n_edges: int, resid_edges: int, k: int, h: in
 
 
 _PAD_FACTOR = 1.6  # measured tile-plan slot inflation over raw edge counts
+# bump when the constants above change enough to move choose_hot_k's
+# resolution — plan_cache folds this into 'auto' keys so a recalibration
+# invalidates stale auto-resolved entries (r5: 1 -> 2, bandwidth + split
+# rate recalibration moved bench-scale auto-K from 4096 to 8192)
+COST_MODEL_VERSION = 2
 # split-fused dense pair (ops/fused_dual.fused_dual_split): effective MXU
 # rate on BASE flops (not x3 passes) — chip-measured 86.6 GFLOP in 1.66 ms
 # at N=41305 K=4096 H=128 (docs/hybrid_parts_r5.log), i.e. the pair is at

@@ -219,8 +219,14 @@ def load_or_build(cache_dir: Optional[str], g, src, dst, norm_w, *,
         np.asarray(g.edge_src), np.asarray(g.edge_dst),
         np.asarray(g.edge_w), g.n_nodes,
     )
+    # 'auto' hot_k is keyed verbatim, so the entry pins whatever K the
+    # cost model resolved WHEN IT WAS SAVED — fold the model version in
+    # so recalibrations (r5: corrected bandwidth + split-dense rate moved
+    # auto from 4096 to 8192 at bench scale) can't serve a stale K
+    from .hybrid import COST_MODEL_VERSION
+
     key = _plan_key(fp, hot_k, compute_dtype, fused, resid_mode, batch,
-                    h_hint, resid_geom)
+                    h_hint, (resid_geom, COST_MODEL_VERSION))
     plan = load_plan(cache_dir, key, src, dst, norm_w)
     if plan is not None:
         return plan
