@@ -44,12 +44,14 @@ LANE = 128
 # padding doesn't eat the flop saving (128x256: 5.04 ms vs 5.93 at the old
 # 256x1024 — pad 1.04x), while the cheaper-pass modes are flat across
 # row_block<=256 and won best at 256x512 ('split2' 4.36 ms, -26%). bf16
-# (1 pass) shares split2's geometry — same below-3-pass structure.
+# was initially extrapolated to split2's geometry; the r5 chip sweep
+# (--modes bf16 --grad, experiments/resid_kernel_bf16.log) refuted that:
+# 128x256 wins the fwd+VJP pair (9.89 ms vs 10.91 at 256x512, pad 1.04x).
 # Standalone full-graph plans keep the ROW_BLOCK/EDGE_TILE defaults above
 # ('highest' exactness, larger blocks amortize better at full-graph edge
 # counts).
 RESID_GEOMS = {"highest": (128, 256), "split2": (256, 512),
-               "bf16": (256, 512)}
+               "bf16": (128, 256)}
 RESID_ROW_BLOCK, RESID_EDGE_TILE = RESID_GEOMS["highest"]
 # Default f32 mode for hybrid plans: 'split2' (two exact-one-hot bf16
 # passes + hi/lo split-fused dense pair, ~2e-5 relative vs f64 oracle) —
