@@ -358,9 +358,15 @@ def build_hybrid_plan(
     if resid_f32_mode is None:
         resid_f32_mode = RESID_F32_MODE
     if dense_split is None:
+        # batch > 1 means the plan is applied under vmap (the EP ensemble
+        # step): the split kernel's scoped-VMEM footprint at the swept
+        # geometry exceeds the 16 MB limit once vmap batches its operands
+        # (chip-measured at K=8192 x batch 6: 16.4 MB requested), so
+        # batched plans keep the dense pair on plain XLA matmuls
         dense_split = (
             jnp.dtype(compute_dtype) == jnp.float32
             and resid_f32_mode == "split2"
+            and batch == 1
         )
     dense_split = bool(dense_split) and jnp.dtype(compute_dtype) == jnp.float32
     geom = resid_geometry(compute_dtype, resid_f32_mode)

@@ -24,7 +24,11 @@ from typing import Optional
 
 import numpy as np
 
-_FORMAT_VERSION = 3  # v3: dense_split flag (hi/lo bf16 dense pair, r5)
+# v3: dense_split flag (hi/lo bf16 dense pair, r5). v4: batched (EP)
+# plans resolve dense_split=False — the derivation changed and
+# dense_split is not part of the key, so v3 entries saved under the old
+# rule must miss (a stale batched d_lo plan VMEM-OOMs under vmap)
+_FORMAT_VERSION = 4
 
 from .spmm_pallas import F32_MODES as _F32_MODES  # single source of truth
 
