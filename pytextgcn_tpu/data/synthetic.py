@@ -163,6 +163,20 @@ PROTOCOL_CFGS = {
 }
 
 
+# Named override profiles on top of PROTOCOL_CFGS. 'amazon-f1' is the
+# r5 macro-F1-calibrated variant (VERDICT r4 item 4): chip-confirmed
+# flat GCN landing 0.5880 acc / 0.4226 f1 vs published 0.599/0.424 —
+# the f1 half INSIDE the published seed range (results.csv:2,6,7 f1
+# 0.4179-0.4287) via the within-parent tail collapse. It is a PROFILE,
+# not a re-pin: every row in docs/protocol_results.csv stays keyed to
+# the r4 pin above; use --corpus-set (drivers) or
+# protocol_corpus("amazon-f1") to opt in.
+PROTOCOL_PROFILES = {
+    "amazon-f1": ("amazon", dict(tail_tilt=0.4, tail_scope="parent",
+                                 mix=(0.755, 0.025, 0.22), prior_alpha=1.2)),
+}
+
+
 def protocol_corpus(protocol: str = "amazon", n_docs: int = 50_000, seed: int = 0,
                     **overrides):
     """Corpus shaped like the reference's datasets, for protocol-scale runs.
@@ -191,6 +205,11 @@ def protocol_corpus(protocol: str = "amazon", n_docs: int = 50_000, seed: int = 
     datasets' irreducible-error analogue), hierarchy-consistently.
     """
     rng = np.random.default_rng(seed + 7_777)
+    if protocol in PROTOCOL_PROFILES:
+        base, prof = PROTOCOL_PROFILES[protocol]
+        merged = dict(prof)
+        merged.update(overrides)  # explicit overrides beat the profile
+        return protocol_corpus(base, n_docs=n_docs, seed=seed, **merged)
     if protocol not in PROTOCOL_CFGS:
         raise ValueError(f"unknown protocol {protocol!r}")
     cfg = dict(PROTOCOL_CFGS[protocol])
