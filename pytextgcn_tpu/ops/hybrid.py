@@ -60,7 +60,14 @@ import numpy as np
 # docs/hybrid_parts_r5.log).
 _HBM_BPS = 4.2e11
 _MXU_F32_HIGHEST = 1.45e13
-_MXU_BF16_FACTOR = 1.6  # measured bf16/f32-HIGHEST effective ratio at H=128
+# bf16 [N,K]@[K,H] effective ratio over f32-HIGHEST. The r2-era 1.6 was
+# the v1 fused kernel's rate; the r5 in-step K sweep (bf16 K=2048/4096/
+# 8192 = 44.2/29.7/21.3 ms/step, docs/step_bf16_sweep_r5.log) fits an
+# effective ~50 TF/s for the plain-XLA bf16 dual at these shapes — the
+# probed DEFAULT-bf16 MXU roof is 176-222 TF/s, so the streaming bytes
+# and the kk term bind, not the MXU; 3.5 prices exactly that regime and
+# resolves auto-K to the measured-best 8192
+_MXU_BF16_FACTOR = 3.5
 _EDGE_NS = 6.0
 # hard per-edge floor for any gather-formulated residual: the chip's
 # measured random-row gather issue rate (0.427 Grows/s, chip_probe.py) —
@@ -133,7 +140,14 @@ def _predict_cost_ns(n_nodes: int, n_edges: int, resid_edges: int, k: int, h: in
     unchanged, FLOPs xB) while the residual pays per member, so the
     optimum K grows with the ensemble."""
     dense_bytes = (d_reads * n_nodes * k + k * k) * itemsize
-    dense_flops = 2 * (2 * n_nodes * k + k * k) * h * batch
+    dense_flops = 2 * (2 * n_nodes * k) * h * batch
+    # the K x K hot-hot correction (a_hh @ x_hot) is a SMALL matmul — it
+    # runs at the chip's small-shape effective rate, not the streaming
+    # [N, K] rate, and grows quadratically: the r5 K sweep's 'other'
+    # column (docs/hybrid_parts_r5.log: 0.42/1.00/2.16/3.06 ms at
+    # K=4/8/12/16k) fits 2K²h at ~14.5 TF/s, which is what un-priced
+    # K=12288+ candidates were hiding
+    kk_ns = 2 * k * k * h * batch / _MXU_F32_HIGHEST * 1e9
     if dense_split:
         # hi/lo bf16 pair: same total bytes as f32 D (2 arrays x 2 B),
         # read once, at the split kernel's measured effective rate
@@ -143,7 +157,7 @@ def _predict_cost_ns(n_nodes: int, n_edges: int, resid_edges: int, k: int, h: in
     else:
         mxu = _MXU_BF16_FACTOR * _MXU_F32_HIGHEST
     # memory traffic and MXU time overlap on TPU; the slower one dominates
-    dense_ns = max(dense_bytes / _HBM_BPS, dense_flops / mxu) * 1e9
+    dense_ns = max(dense_bytes / _HBM_BPS, dense_flops / mxu) * 1e9 + kk_ns
     return dense_ns + resid_edges * (_EDGE_NS if edge_ns is None
                                      else edge_ns) * batch
 
@@ -153,7 +167,7 @@ _PAD_FACTOR = 1.6  # measured tile-plan slot inflation over raw edge counts
 # resolution — plan_cache folds this into 'auto' keys so a recalibration
 # invalidates stale auto-resolved entries (r5: 1 -> 2, bandwidth + split
 # rate recalibration moved bench-scale auto-K from 4096 to 8192)
-COST_MODEL_VERSION = 2
+COST_MODEL_VERSION = 3
 # split-fused dense pair (ops/fused_dual.fused_dual_split): effective MXU
 # rate on BASE flops (not x3 passes) — chip-measured 86.6 GFLOP in 1.66 ms
 # at N=41305 K=4096 H=128 (docs/hybrid_parts_r5.log), i.e. the pair is at
@@ -162,8 +176,11 @@ COST_MODEL_VERSION = 2
 _MXU_SPLIT_DENSE = 5.2e13
 # per-slot residual rate by f32 mode: 'highest' is the original 3-pass
 # measurement; 'split2' drops to ~4.3 ns/edge (4.30 ms / 0.99M edges at
-# K=4096, docs/hybrid_parts_r5.log); bf16's single pass tracks split2
-_EDGE_NS_MODE = {"highest": _EDGE_NS, "split2": 4.3, "bf16": 4.3}
+# K=4096, docs/hybrid_parts_r5.log). bf16 keeps the conservative 6.0 —
+# the split2 extrapolation made the model under-price bf16 residuals
+# and the in-step bf16 sweep (docs/step_bf16_sweep_r5.log) is fit by
+# the 6.0 rate
+_EDGE_NS_MODE = {"highest": _EDGE_NS, "split2": 4.3, "bf16": _EDGE_NS}
 
 
 def choose_hot_k(src, n_nodes: int, h: int = 128, itemsize: int = 4,
