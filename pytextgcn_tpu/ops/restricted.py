@@ -126,7 +126,6 @@ def build_restricted_adj(
         _EDGE_NS,
         _GATHER_NS,
         _HBM_BPS,
-        _MXU_BF16_FACTOR,
         _MXU_F32_HIGHEST,
     )
     from .spmm_pallas import _build_tile_plan
@@ -166,14 +165,27 @@ def build_restricted_adj(
         order0 = np.argsort(-deg0, kind="stable")
         rank0[order0] = np.arange(n)
         src_rank = rank0[r_src]
-        mxu = _MXU_F32_HIGHEST * (1 if itemsize == 4 else _MXU_BF16_FACTOR)
+        # bf16 rate: the hybrid model's _MXU_BF16_FACTOR (3.5 since r5)
+        # is the [N, K] streaming-dual rate; the restricted head's single
+        # m-row product (m ~ train rows) measures far below it — pricing
+        # it at 3.5 moves the head K up and regresses the measured masked
+        # step (bf16 masked-head 15.3 ms with the 1.6-era resolution vs
+        # 17.2 with 3.5 — bench r5a vs r5c, same session family). Keep
+        # the restricted chooser on the conservatively-measured 1.6.
+        mxu = _MXU_F32_HIGHEST * (1 if itemsize == 4 else 1.6)
+        # likewise the m-row slab does NOT stream at the [N, K] D-read
+        # rate (the r5-corrected 420 GB/s) — the masked step measured
+        # best under the r4-era 220 GB/s resolution (f32 masked-head
+        # 25.0 ms vs 25.7 after the raise); pin the restricted model's
+        # effective bandwidth to that validated regime
+        hbm = 2.2e11
         best_k, best_t = 0, _resid_ns(r_dst, len(r_src))
         for cand in (512, 1024, 2048, 4096, 8192):
             if cand >= n or m * cand * itemsize > 1.5e9:
                 continue
             cold = src_rank >= cand
             dense_ns = max(
-                m * cand * itemsize / _HBM_BPS, 2 * m * cand * 128 / mxu
+                m * cand * itemsize / hbm, 2 * m * cand * 128 / mxu
             ) * 1e9
             t = dense_ns + _resid_ns(r_dst[cold], int(cold.sum()))
             if t < best_t:

@@ -110,8 +110,6 @@ def _choose_restricted_hot_k(
     on-chip at ~4x the raw gather issue rate — see ops/restricted.py)."""
     from ..ops.hybrid import (
         _GATHER_NS,
-        _HBM_BPS,
-        _MXU_BF16_FACTOR,
         _MXU_F32_HIGHEST,
     )
 
@@ -119,14 +117,18 @@ def _choose_restricted_hot_k(
     rank = np.empty(n, np.int64)
     rank[np.argsort(-deg, kind="stable")] = np.arange(n)
     src_rank = rank[r_src]
-    mxu = _MXU_F32_HIGHEST * (1 if itemsize == 4 else _MXU_BF16_FACTOR)
+    # restricted-head single-product bf16 rate: 1.6, NOT the hybrid
+    # model's 3.5 streaming-dual rate (see ops/restricted.py — measured
+    # masked-step regression when the head K moves up)
+    mxu = _MXU_F32_HIGHEST * (1 if itemsize == 4 else 1.6)
+    hbm = 2.2e11  # see ops/restricted.py — restricted slab effective rate
     best_k, best_t = 0, len(r_src) * 4 * _GATHER_NS
     for cand in (512, 1024, 2048, 4096, 8192):
         if cand >= n or m * cand * itemsize > 1.5e9:
             continue
         n_cold = int((src_rank >= cand).sum())
         dense_ns = max(
-            m * cand * itemsize / _HBM_BPS, 2 * m * cand * 128 / mxu
+            m * cand * itemsize / hbm, 2 * m * cand * 128 / mxu
         ) * 1e9
         t = dense_ns + n_cold * 4 * _GATHER_NS
         if t < best_t:
