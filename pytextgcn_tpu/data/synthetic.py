@@ -174,6 +174,13 @@ PROTOCOL_CFGS = {
 PROTOCOL_PROFILES = {
     "amazon-f1": ("amazon", dict(tail_tilt=0.4, tail_scope="parent",
                                  mix=(0.755, 0.025, 0.22), prior_alpha=1.2)),
+    # dbpedia's published flat row is 0.8718 acc / 0.8218 f1
+    # (results_dbpedia.csv:2,6,7); the r4 pin hits acc (0.876) but runs
+    # f1 3.6 pts LOW (0.786) — the opposite tail profile from amazon.
+    # More-uniform class priors raise tail recall; extra label noise
+    # pulls accuracy back: chip-confirmed 0.8783/0.8168 (d_acc +0.65,
+    # d_f1 -0.50 — both within a point of published).
+    "dbpedia-f1": ("dbpedia", dict(prior_alpha=4.0, label_noise=0.05)),
 }
 
 
